@@ -1,0 +1,151 @@
+"""Media-branch "inference" stage — the Spark stand-in for the
+reference's PageParser pipeline (layout → line crop → CTC OCR →
+optional LM decode; /root/reference/processing_client/run_client.py:184-185,
+config knobs /root/reference/app/db/model.py:167-194).
+
+The real pipeline is GPU model inference; this sandbox has no models,
+so the stage is a *deterministic pure function of media_ref* (md5-based,
+constants.py) — but the Spark plumbing is the real thing:
+
+- spans arrive as Arrow record batches through ``mapInPandas`` (one
+  Python crossing per batch, never per row);
+- the "engine" is a module-level lazy singleton initialised from a
+  broadcast config, exactly how real weights would be shipped
+  (reference analog: per-worker engine zip cache, run_client.py:44-67);
+- row-level failures are caught into an ``error`` column, never thrown
+  (run_client.py:150-202 error taxonomy), and counted via accumulators.
+
+Output of one media span with L surviving lines is L rows
+(doc_id, offset, line_idx, text, conf, error=NULL); a failed span is
+one row with error set and text NULL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Optional
+
+import pandas as pd
+
+from ..constants import (
+    ARABIC_BASE_CP,
+    ARABIC_MOD,
+    CONF_MOD,
+    ERROR_MOD,
+    MAX_LINES,
+    STATE_INVALID_FILE,
+    STATE_NOT_FOUND,
+    STATE_PROCESSING_FAILED,
+)
+
+INFER_SCHEMA = (
+    "doc_id string, offset int, media_ref string, line_idx int, "
+    "text string, conf double, error string"
+)
+
+_ERROR_BY_CODE = {0: STATE_NOT_FOUND, 1: STATE_INVALID_FILE, 2: STATE_PROCESSING_FAILED}
+
+
+def _hexval(c: str) -> int:
+    o = ord(c)
+    return o - 87 if o >= 97 else o - 48
+
+
+def stub_infer_one(media_ref: str) -> tuple[Optional[str], list[tuple[int, str, float]]]:
+    """Deterministic per-media inference: (error, [(line_idx, stored_text,
+    conf)]).  ``stored_text`` is the raw model output — Arabic lines come
+    out in visual (reversed) order, like the reference's pre-normalization
+    transcriptions (run_client.py:218-220).  Shared verbatim by the
+    pure-Python oracle and mirrored by the DuckDB oracle SQL."""
+    h = hashlib.md5(media_ref.encode()).hexdigest()
+    code = (ord(h[0]) * 16 + ord(h[1])) % ERROR_MOD
+    if code in _ERROR_BY_CODE:
+        return _ERROR_BY_CODE[code], []
+    n_lines = 1 + ord(h[2]) % MAX_LINES
+    lines = []
+    for i in range(1, n_lines + 1):
+        g = hashlib.md5(f"{media_ref}:{i}".encode()).hexdigest()
+        conf = ((ord(g[0]) * 16 + ord(g[1])) % CONF_MOD) / 100.0
+        if ord(g[2]) % ARABIC_MOD == 0:
+            logical = "ar-" + "".join(chr(ARABIC_BASE_CP + _hexval(c)) for c in g[:4])
+            stored = logical[::-1]
+        else:
+            stored = "line-" + g[:8]
+        lines.append((i, stored, conf))
+    return None, lines
+
+
+class _StubEngine:
+    """Per-executor model singleton.  A real deployment loads broadcast
+    weights here once and reuses them across every Arrow batch the
+    executor sees (never re-pickled per batch)."""
+
+    def __init__(self, config: dict):
+        self.config = config
+
+    def infer_batch(self, refs: pd.Series) -> list[tuple[Optional[str], list]]:
+        return [stub_infer_one(r) for r in refs]
+
+
+_ENGINE: Optional[_StubEngine] = None
+
+
+def _get_engine(config: dict) -> _StubEngine:
+    global _ENGINE
+    if _ENGINE is None or _ENGINE.config != config:
+        _ENGINE = _StubEngine(config)
+    return _ENGINE
+
+
+def make_infer_fn(broadcast_config, acc_pages=None, acc_lines=None, acc_failures=None):
+    """Build the mapInPandas function.  ``broadcast_config`` is a
+    ``Broadcast[dict]`` (engine id/version/thresholds); accumulators are
+    optional pipeline metrics (SURVEY §2.4 A9)."""
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        engine = _get_engine(broadcast_config.value)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            results = engine.infer_batch(pdf["media_ref"])
+            out_doc, out_off, out_ref, out_idx, out_text, out_conf, out_err = (
+                [], [], [], [], [], [], [])
+            n_lines = 0
+            n_failures = 0
+            for (doc_id, offset, ref), (err, lines) in zip(
+                zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]), results
+            ):
+                if err is not None:
+                    out_doc.append(doc_id); out_off.append(offset)
+                    out_ref.append(ref); out_idx.append(0)
+                    out_text.append(None); out_conf.append(None)
+                    out_err.append(err)
+                    n_failures += 1
+                    continue
+                for (idx, text, conf) in lines:
+                    out_doc.append(doc_id); out_off.append(offset)
+                    out_ref.append(ref); out_idx.append(idx)
+                    out_text.append(text); out_conf.append(conf)
+                    out_err.append(None)
+                    n_lines += 1
+            if acc_pages is not None:
+                acc_pages.add(n)
+            if acc_lines is not None:
+                acc_lines.add(n_lines)
+            if acc_failures is not None:
+                acc_failures.add(n_failures)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="object"),
+                    "offset": pd.Series(out_off, dtype="int32"),
+                    "media_ref": pd.Series(out_ref, dtype="object"),
+                    "line_idx": pd.Series(out_idx, dtype="int32"),
+                    "text": pd.Series(out_text, dtype="object"),
+                    "conf": pd.Series(out_conf, dtype="float64"),
+                    "error": pd.Series(out_err, dtype="object"),
+                }
+            )
+
+    return infer

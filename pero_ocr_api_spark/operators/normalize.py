@@ -1,0 +1,49 @@
+"""Normalization stages — all JVM-side built-ins (no Python in the hot
+path; whole-stage codegen applies end-to-end).
+
+- ``normalize_text_spans``: the text-branch boilerplate strip (SURVEY
+  §2.9 X10): collapse whitespace runs, trim, drop empty spans.
+- ``normalize_transcriptions``: the Arabic visual→logical fix (SURVEY
+  §2.7 F10; reference: arabic_helper at
+  /root/reference/processing_client/run_client.py:218-220).  Arabic
+  detection is a char-class rlike; the fix is reverse() — both built-in
+  expressions, which beats the survey's pandas_udf suggestion (stays in
+  codegen, no Arrow crossing).
+- ``filter_confident_lines``: drop lines at/below MIN_CONFIDENCE
+  (run_client.py:36-37,213-216); lines with NULL confidence pass
+  (reference: ``if line.transcription_confidence and ... > min_conf``
+  only filters lines *having* a confidence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import MIN_CONFIDENCE
+
+ARABIC_CHARCLASS = "[؀-ۿ]"
+
+
+def normalized_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def normalize_text_spans(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df.withColumn(text_col, normalized_text(F.col(text_col)))
+    return out.filter(F.col(text_col) != "")
+
+
+def fix_arabic(col: Column) -> Column:
+    return F.when(col.rlike(ARABIC_CHARCLASS), F.reverse(col)).otherwise(col)
+
+
+def normalize_transcriptions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(text_col, fix_arabic(F.col(text_col)))
+
+
+def filter_confident_lines(
+    df: DataFrame, conf_col: str = "conf", threshold: float = MIN_CONFIDENCE
+) -> DataFrame:
+    c = F.col(conf_col)
+    return df.filter(c.isNull() | (c > F.lit(threshold)))
