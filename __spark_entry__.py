@@ -3,36 +3,46 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pero_ocr_api_spark.queries import extraction as _qx
+from pero_ocr_api_spark.queries import extraction_sql as _sx
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over the interleaved documents table
+    synthesized from sf0.001 — per-doc span sequences in reading order."""
+    return _qx.q_pipeline_spans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # ---- extraction pipeline (SURVEY §2.8-§2.9) ----
+        "extract_input_spans": _qx.q_input_spans,
+        "extract_pipeline_spans": _qx.q_pipeline_spans,
+        "extract_doc_results": _qx.q_doc_results,
+        "extract_serialize_txt": _qx.q_serialize_txt,
+        "extract_conf_histogram": _qx.q_conf_histogram,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_input_spans": _sx.SQL_INPUT_SPANS,
+        "extract_pipeline_spans": _sx.SQL_PIPELINE_SPANS,
+        "extract_doc_results": _sx.SQL_DOC_RESULTS,
+        "extract_serialize_txt": _sx.SQL_SERIALIZE_TXT,
+        "extract_conf_histogram": _sx.SQL_CONF_HISTOGRAM,
+    }

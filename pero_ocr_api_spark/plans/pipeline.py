@@ -65,8 +65,9 @@ class ExtractMetrics:
 
 @dataclass
 class ExtractResult:
-    spans: DataFrame      # doc_id, order, kind, text, media_ref
-    docs: DataFrame       # doc_id, score, status
+    spans: DataFrame       # doc_id, order, kind, text, media_ref
+    docs: DataFrame        # doc_id, score, status
+    spans_conf: DataFrame = None  # spans + conf (internal/serialization use)
     metrics: ExtractMetrics = field(default_factory=ExtractMetrics)
 
 
@@ -183,5 +184,6 @@ def extract(
     return ExtractResult(
         spans=out_spans.select("doc_id", "order", "kind", "text", "media_ref"),
         docs=docs_out,
+        spans_conf=out_spans,
         metrics=metrics,
     )

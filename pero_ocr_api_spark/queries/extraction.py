@@ -1,0 +1,53 @@
+"""Spark-side query callables for the extraction pipeline, paired
+one-to-one with the DuckDB oracle SQL in extraction_sql.py.
+
+Each callable has the (spark, sf_dir) -> DataFrame driver signature.
+Column names/ordering are aligned with the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.serialize import serialize_txt
+from ..plans.pipeline import extract
+from ..synth import exploded_spans, interleaved_documents
+
+
+def _run(spark: SparkSession, sf_dir: str):
+    docs = interleaved_documents(spark, sf_dir)
+    return extract(spark, docs, with_metrics=False)
+
+
+def q_input_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized interleaved input, flattened — validates that the
+    Spark synthesis and the SQL synthesis agree byte-for-byte."""
+    return exploded_spans(spark, sf_dir).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+
+
+def q_pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction, one row per output span in reading
+    order — the span-sequence-equality surface (BASELINE.json metric)."""
+    return _run(spark, sf_dir).spans
+
+
+def q_doc_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality score (median conf ×100, 2dp) + status taxonomy."""
+    return _run(spark, sf_dir).docs
+
+
+def q_serialize_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order plain-text serialization per document."""
+    return serialize_txt(_run(spark, sf_dir).spans)
+
+
+def q_conf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span counts + mean confidence by kind over the pipeline output."""
+    res = _run(spark, sf_dir)
+    return res.spans_conf.groupBy("kind").agg(
+        F.count("*").alias("n_spans"),
+        F.round(F.avg("conf"), 6).alias("avg_conf"),
+    )

@@ -1,0 +1,142 @@
+"""DuckDB oracle SQL for the extraction pipeline — the SQL twin of
+plans/pipeline.py, built from the same constants so the two cannot
+drift independently.  The driver runs these against its pre-registered
+`documents` view and hash-compares with the Spark results.
+"""
+
+from __future__ import annotations
+
+from ..constants import (
+    ARABIC_BASE_CP,
+    ARABIC_MOD,
+    CONF_MOD,
+    DEFAULT_SCORE,
+    ERROR_MOD,
+    MAX_LINES,
+    MIN_CONFIDENCE,
+    SCORE_DP,
+    SCORE_SCALE,
+    STATE_INVALID_FILE,
+    STATE_NOT_FOUND,
+    STATE_PROCESSED,
+    STATE_PROCESSING_FAILED,
+)
+from ..synth import SQL_EXPLODED_SPANS_CTE
+
+
+def _hexval_sql(expr: str) -> str:
+    """hex char -> nibble value, portable ascii arithmetic."""
+    a = f"ascii({expr})"
+    return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+
+def _arabic_sql(g: str) -> str:
+    chars = " || ".join(
+        f"chr({ARABIC_BASE_CP} + {_hexval_sql(f'substr({g}, {i}, 1)')})"
+        for i in range(1, 5)
+    )
+    return f"'ar-' || {chars}"
+
+
+# CTEs that re-run the whole pipeline in SQL on top of the synthesized
+# `spans` CTE.  The oracle computes the *logical* Arabic form directly
+# (the engine's stub emits visual order and the normalize stage
+# reverses it back — a no-op round trip by construction).
+PIPELINE_CTES = f"""
+media AS (
+  SELECT doc_id, "offset", media_ref, md5(media_ref) AS h
+  FROM spans WHERE kind = 'media'
+),
+media2 AS (
+  SELECT doc_id, "offset", media_ref, h,
+         (ascii(substr(h,1,1)) * 16 + ascii(substr(h,2,1))) % {ERROR_MOD} AS code,
+         1 + ascii(substr(h,3,1)) % {MAX_LINES} AS n_lines
+  FROM media
+),
+media_err AS (
+  SELECT doc_id, "offset",
+         CASE code WHEN 0 THEN '{STATE_NOT_FOUND}'
+                   WHEN 1 THEN '{STATE_INVALID_FILE}'
+                   ELSE '{STATE_PROCESSING_FAILED}' END AS error
+  FROM media2 WHERE code <= 2
+),
+lines0 AS (
+  SELECT doc_id, "offset", media_ref,
+         CAST(unnest(range(1, n_lines + 1)) AS INT) AS line_idx
+  FROM media2 WHERE code > 2
+),
+lines1 AS (
+  SELECT doc_id, "offset", media_ref, line_idx,
+         md5(media_ref || ':' || line_idx) AS g
+  FROM lines0
+),
+lines2 AS (
+  SELECT doc_id, "offset", media_ref, line_idx,
+         ((ascii(substr(g,1,1)) * 16 + ascii(substr(g,2,1))) % {CONF_MOD}) / 100.0 AS conf,
+         CASE WHEN ascii(substr(g,3,1)) % {ARABIC_MOD} = 0
+              THEN {_arabic_sql('g')}
+              ELSE 'line-' || substr(g, 1, 8) END AS text
+  FROM lines1
+),
+kept AS (
+  SELECT * FROM lines2 WHERE conf > {MIN_CONFIDENCE}
+),
+text_kept AS (
+  SELECT doc_id, "offset",
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+  FROM spans WHERE kind = 'text'
+),
+merged AS (
+  SELECT doc_id, "offset", 0 AS line_idx, 'text' AS kind, text,
+         CAST(NULL AS VARCHAR) AS media_ref, CAST(NULL AS DOUBLE) AS conf
+  FROM text_kept WHERE text <> ''
+  UNION ALL
+  SELECT doc_id, "offset", line_idx, 'media' AS kind, text, media_ref, conf
+  FROM kept
+),
+ordered AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset", line_idx) - 1 AS INT) AS "order",
+         kind, text, media_ref, conf
+  FROM merged
+)
+"""
+
+_PREFIX = f"WITH {SQL_EXPLODED_SPANS_CTE.strip()},\n{PIPELINE_CTES.strip()}"
+
+SQL_INPUT_SPANS = f"""WITH {SQL_EXPLODED_SPANS_CTE.strip()}
+SELECT doc_id, "offset", kind, text, media_ref FROM spans
+"""
+
+SQL_PIPELINE_SPANS = f"""{_PREFIX}
+SELECT doc_id, "order", kind, text, media_ref FROM ordered
+"""
+
+SQL_DOC_RESULTS = f"""{_PREFIX},
+scores AS (
+  SELECT doc_id, round(median(conf) * {SCORE_SCALE}, {SCORE_DP}) AS mscore
+  FROM ordered GROUP BY doc_id
+),
+errs AS (
+  SELECT doc_id, min_by(error, "offset") AS first_error
+  FROM media_err GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.mscore, {DEFAULT_SCORE}) AS score,
+       coalesce(e.first_error, '{STATE_PROCESSED}') AS status
+FROM (SELECT DISTINCT doc_id FROM spans) d
+LEFT JOIN scores s USING (doc_id)
+LEFT JOIN errs e USING (doc_id)
+"""
+
+SQL_SERIALIZE_TXT = f"""{_PREFIX}
+SELECT doc_id,
+       string_agg(text, chr(10) ORDER BY "order") AS txt
+FROM ordered GROUP BY doc_id
+"""
+
+SQL_CONF_HISTOGRAM = f"""{_PREFIX}
+SELECT kind, count(*) AS n_spans,
+       round(avg(conf), 6) AS avg_conf
+FROM ordered GROUP BY kind
+"""
