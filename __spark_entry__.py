@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pero_ocr_api_spark.queries import extraction as _qx
 from pero_ocr_api_spark.queries import extraction_sql as _sx
+from pero_ocr_api_spark.queries.controlplane import REGISTRY as _CP
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,23 +27,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return _qx.q_pipeline_spans(spark, "/root/testdata/sf0.001")
 
 
+_EXTRACTION_QUERIES = {
+    "extract_input_spans": (_qx.q_input_spans, _sx.SQL_INPUT_SPANS),
+    "extract_pipeline_spans": (_qx.q_pipeline_spans, _sx.SQL_PIPELINE_SPANS),
+    "extract_doc_results": (_qx.q_doc_results, _sx.SQL_DOC_RESULTS),
+    "extract_serialize_txt": (_qx.q_serialize_txt, _sx.SQL_SERIALIZE_TXT),
+    "extract_conf_histogram": (_qx.q_conf_histogram, _sx.SQL_CONF_HISTOGRAM),
+}
+
+
+def _registry() -> dict[str, tuple]:
+    reg = dict(_EXTRACTION_QUERIES)
+    reg.update(_CP)
+    return reg
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ---- extraction pipeline (SURVEY §2.8-§2.9) ----
-        "extract_input_spans": _qx.q_input_spans,
-        "extract_pipeline_spans": _qx.q_pipeline_spans,
-        "extract_doc_results": _qx.q_doc_results,
-        "extract_serialize_txt": _qx.q_serialize_txt,
-        "extract_conf_histogram": _qx.q_conf_histogram,
-    }
-    return q
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "extract_input_spans": _sx.SQL_INPUT_SPANS,
-        "extract_pipeline_spans": _sx.SQL_PIPELINE_SPANS,
-        "extract_doc_results": _sx.SQL_DOC_RESULTS,
-        "extract_serialize_txt": _sx.SQL_SERIALIZE_TXT,
-        "extract_conf_histogram": _sx.SQL_CONF_HISTOGRAM,
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
     }
