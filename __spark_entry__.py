@@ -18,6 +18,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pero_ocr_api_spark.queries import extraction as _qx
 from pero_ocr_api_spark.queries import extraction_sql as _sx
+from pero_ocr_api_spark.functions.dedup import REGISTRY as _DEDUP
+from pero_ocr_api_spark.functions.similarity import REGISTRY as _SIM
+from pero_ocr_api_spark.functions.text import REGISTRY as _TEXT
 from pero_ocr_api_spark.queries.controlplane import REGISTRY as _CP
 
 
@@ -39,6 +42,9 @@ _EXTRACTION_QUERIES = {
 def _registry() -> dict[str, tuple]:
     reg = dict(_EXTRACTION_QUERIES)
     reg.update(_CP)
+    reg.update(_TEXT)
+    reg.update(_DEDUP)
+    reg.update(_SIM)
     return reg
 
 

@@ -1,0 +1,317 @@
+"""Deduplication operators for training-data pipelines — exact
+(hash-groupBy), MinHash+LSH (shingle → signature → band → bucket join →
+exact-Jaccard verify), SimHash, all with DuckDB oracle twins.
+
+Scale notes (100 TB): candidate generation is LSH-band equality (an
+equi-join on band_key — shuffle-partitioned, AQE-skew-safe), never an
+all-pairs product; exact Jaccard runs only on candidate pairs.  The
+MinHash "permutations" are lexicographic mins of md5(perm:shingle),
+which is engine-portable and needs no 64-bit hash parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import LSH_BANDS, MINHASH_PERMS, SHINGLE_K
+from ..session import load_table
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def _reg(name: str, sql: str):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------- exact
+@_reg(
+    "td_dedup_exact",
+    """WITH t AS (
+         SELECT doc_id,
+                md5(array_to_string(
+                  list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8),
+                  ' ')) AS fp
+         FROM documents),
+       g AS (SELECT fp, count(*) AS sz FROM t GROUP BY fp)
+       SELECT sz AS group_size, count(*) AS n_groups
+       FROM g GROUP BY sz""",
+)
+def q_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    fp = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    groups = (
+        docs.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("sz"))
+    )
+    return groups.groupBy(F.col("sz").alias("group_size")).agg(
+        F.count("*").alias("n_groups")
+    )
+
+
+# ------------------------------------------------------------- shingles
+def shingles_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct K-token shingles per doc: (doc_id, sh)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SHINGLE_K
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (SHINGLE_K - 1)),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, SHINGLE_K), " "),
+    )
+    return d.select("doc_id", F.explode(sh).alias("sh")).distinct()
+
+
+_SQL_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')
+                 for i in range(1, len(toks) - {SHINGLE_K - 2})]) AS sh
+  FROM toks WHERE len(toks) >= {SHINGLE_K}),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
+"""
+
+
+# ------------------------------------------------- minhash + LSH + verify
+def _sig_df(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingles_df(spark, sf)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("sh")))).alias(f"mh{p}")
+        for p in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_pairs(spark: SparkSession, sf: str, threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs from LSH band equality, verified by exact Jaccard
+    over shingle sets; returns (doc_a, doc_b, jaccard>=threshold)."""
+    sh = shingles_df(spark, sf)
+    sig = _sig_df(spark, sf)
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [F.lit(f"{b}")] + [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(F.md5(F.concat_ws(":", *parts)).alias(f"band{b}"))
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+@_reg(
+    "td_dedup_minhash_lsh",
+    None,  # sql filled below
+)
+def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_pairs(spark, sf, threshold=0.5)
+
+
+def _minhash_sql() -> str:
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    mh_aggs = ",\n         ".join(
+        f"min(md5('{p}:' || sh)) AS mh{p}" for p in range(MINHASH_PERMS)
+    )
+    band_exprs = ",\n    ".join(
+        "md5('{b}:' || {cols})".format(
+            b=b,
+            cols=" || ':' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""WITH {_SQL_SHINGLES.strip()},
+sig AS (
+  SELECT doc_id, {mh_aggs}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, unnest([
+    {band_exprs}
+  ]) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE), 6) >= 0.5
+"""
+
+
+REGISTRY["td_dedup_minhash_lsh"] = (q_minhash, _minhash_sql())
+
+
+# ------------------------------------------------- n-gram Jaccard (direct)
+@_reg(
+    "td_dedup_ngram_jaccard",
+    f"""WITH {_SQL_SHINGLES.strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) t
+  WHERE df BETWEEN 2 AND 10),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare r ON a.sh = r.sh
+  JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE), 6) >= 0.3
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-frequency-bounded candidate generation: only shingles
+    with 2 <= df <= 10 generate candidate pairs (the classic rare-token
+    blocking trick — df-capped so a common shingle can't produce a
+    quadratic bucket), then exact Jaccard on the candidates."""
+    sh = shingles_df(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = (
+        sh.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 10))
+        .select("sh")
+    )
+    sh_rare = sh.join(F.broadcast(rare), "sh")
+    a = sh_rare.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh_rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def _simhash_sql() -> str:
+    votes = []
+    for b in range(16):
+        nib_pos = 1 + b // 4
+        shift = 3 - b % 4
+        a = f"ascii(substr(h, {nib_pos}, 1))"
+        nib = f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+        bit = f"(({nib} // {2 ** shift}) % 2)"
+        votes.append(
+            f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    votes_sql = ",\n         ".join(votes)
+    assemble = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+v AS (
+  SELECT doc_id,
+         {votes_sql}
+  FROM hs GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM v
+"""
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    hs = docs.select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    aggs = []
+    for b in range(16):
+        nib_pos = 1 + b // 4
+        shift = 3 - b % 4
+        a = F.ascii(F.substring("h", nib_pos, 1))
+        nib = a - F.when(a >= 97, 87).otherwise(48)
+        bit = F.floor(nib / (2 ** shift)) % 2
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}")
+        )
+    v = hs.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, 2 ** b).otherwise(0)
+        sim = term if sim is None else sim + term
+    return v.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+REGISTRY["td_dedup_simhash"] = (q_simhash, _simhash_sql())

@@ -1,0 +1,200 @@
+"""Similarity search over the embedding column (array<float>, dim 64):
+
+- brute-force cosine top-k (the correctness baseline): broadcast the
+  query set, JVM-side dot products via zip_with/aggregate — no Python
+  in the scoring loop;
+- random-hyperplane LSH bucketing (the scale path): deterministic
+  md5-derived hyperplanes, signature = sign-bit string, so at 100 TB
+  the candidate set for a query is one bucket (equi-join), not a scan.
+
+Scores are rounded to 6dp in both engines before ranking/compare so
+summation-order float noise cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+REGISTRY: dict[str, tuple] = {}
+
+N_QUERIES = 5     # vec_id < 5 are the query vectors
+TOP_K = 5
+LSH_PLANES = 8
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def q_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(queries))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+
+
+SQL_BRUTEFORCE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(
+           list_sum(list_transform(range(1, {DIM} + 1),
+             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+           6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+REGISTRY["td_sim_bruteforce_topk"] = (q_bruteforce_topk, SQL_BRUTEFORCE_TOPK)
+
+
+# ------------------------------------------------- LSH signature buckets
+def _plane_weight(p: int, i: int) -> float:
+    """Deterministic pseudo-random weight in [-7.5, 7.5]: the value of
+    hex digit i of md5('hp:p:block') minus 7.5.  Engine-portable (md5 +
+    ascii only) and zero-mean."""
+    # one md5 per (plane, 32-digit block); digit index within the block
+    import hashlib
+
+    block = i // 32
+    h = hashlib.md5(f"hp:{p}:{block}".encode()).hexdigest()
+    c = h[i % 32]
+    v = ord(c) - (87 if ord(c) >= 97 else 48)
+    return v - 7.5
+
+
+def _plane_weights(p: int) -> list[float]:
+    return [_plane_weight(p, i) for i in range(DIM)]
+
+
+def q_lsh_signature(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    sig = None
+    for p in range(LSH_PLANES):
+        w = F.array(*[F.lit(x) for x in _plane_weights(p)])
+        dot = _dot(F.col("embedding"), w)
+        bit = F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+        sig = bit if sig is None else F.concat(sig, bit)
+    return emb.select("vec_id", sig.alias("signature"))
+
+
+def _lsh_sql() -> str:
+    sig_parts = []
+    for p in range(LSH_PLANES):
+        ws = _plane_weights(p)
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w})" for i, w in enumerate(ws)
+        )
+        sig_parts.append(f"(CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(sig_parts)
+    return f"SELECT vec_id, {sig} AS signature FROM embeddings"
+
+
+REGISTRY["td_sim_lsh_signature"] = (q_lsh_signature, _lsh_sql())
+
+
+def q_lsh_bucket_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        q_lsh_signature(spark, sf)
+        .groupBy("signature")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+REGISTRY["td_sim_lsh_buckets"] = (
+    q_lsh_bucket_counts,
+    f"SELECT signature, count(*) AS n FROM ({_lsh_sql()}) t GROUP BY signature",
+)
+
+
+def ann_topk_lsh(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
+    """The scale-path ANN: candidates restricted to the query's LSH
+    bucket, then exact cosine within the bucket.  Approximate by
+    construction (rows-only check; the brute-force query above is the
+    verified baseline)."""
+    emb = load_table(spark, sf, "embeddings")
+    sigs = q_lsh_signature(spark, sf)
+    e = emb.join(sigs, "vec_id")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("signature").alias("sig"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("signature").alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+
+
+REGISTRY["td_sim_ann_lsh_topk"] = (ann_topk_lsh, None)  # approximate: rows-only

@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  All pure JVM-side built-ins (codegen end-to-end);
+each has a DuckDB oracle twin.
+
+Registry entries follow the controlplane (fn, sql) convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import STOPWORDS
+from ..session import load_table
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def _reg(name: str, sql: str):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+_WORD_RE = r"[A-Za-z0-9]+"
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def tokens_col(text_col="text"):
+    return F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+
+
+# ---- token counting: whitespace + BPE-ish regex ----
+@_reg(
+    "td_text_tokens",
+    f"""SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{_WORD_RE}')) AS n_words,
+               len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct
+        FROM documents""",
+)
+def q_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_WORD_RE)).alias("n_words"),
+        F.regexp_count("text", F.lit(_PUNCT_RE)).alias("n_punct"),
+    )
+
+
+# ---- quality scoring: length / stopword / token-length ratios ----
+@_reg(
+    "td_text_quality",
+    f"""WITH t AS (
+          SELECT doc_id, n_chars,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+                     / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+               round(n_chars / CAST(len(toks) AS DOUBLE), 6) AS chars_per_token,
+               (len(toks) >= 10 AND len(toks) <= 1000) AS length_ok
+        FROM t WHERE len(toks) > 0""",
+)
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = tokens_col()
+    d = docs.select("doc_id", "n_chars", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    sw = F.size(
+        F.filter(
+            "toks",
+            lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS]), t),
+        )
+    )
+    n = F.size("toks")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        F.round(sw / n.cast("double"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") / n.cast("double"), 6).alias("chars_per_token"),
+        ((n >= 10) & (n <= 1000)).alias("length_ok"),
+    )
+
+
+# ---- language-ID heuristic: stopword-hit-rate n-gram-free classifier ----
+@_reg(
+    "td_text_langid",
+    f"""WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        p AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+                           / CAST(greatest(len(toks), 1) AS DOUBLE) > 0.02
+                      THEN 'en' ELSE 'unk' END AS predicted
+          FROM t)
+        SELECT lang, predicted, count(*) AS n
+        FROM p GROUP BY lang, predicted""",
+)
+def q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = tokens_col()
+    d = docs.select("doc_id", "lang", toks.alias("toks"))
+    sw = F.size(
+        F.filter(
+            "toks",
+            lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS]), t),
+        )
+    )
+    ratio = sw / F.greatest(F.size("toks"), F.lit(1)).cast("double")
+    pred = F.when(ratio > 0.02, "en").otherwise("unk")
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---- document fingerprint: md5 of whitespace-normalized lowercase text ----
+@_reg(
+    "td_text_fingerprint",
+    """SELECT doc_id,
+              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       FROM documents""",
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+    )
