@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north_rule): run the SAME
+extraction job at local[N] and local[4N] on the same input and report
+throughput at both + scaling efficiency  (thr_4N / thr_N) / 4.
+
+Each parallelism level runs in a fresh subprocess (a JVM cannot change
+core count in-flight).  Results → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pero_ocr_api_spark.session import get_spark
+from pero_ocr_api_spark.synth import interleaved_documents
+from pero_ocr_api_spark.plans.pipeline import extract
+
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]; reps = int(sys.argv[3])
+spark = get_spark(app_name=f"scale-{cores}", parallelism=cores,
+                  shuffle_partitions=max(4 * cores, 32),
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+docs = interleaved_documents(spark, sf_dir)
+# warmup (JIT + file listing)
+extract(spark, docs, with_metrics=False).spans.count()
+best = None
+for _ in range(reps):
+    t0 = time.monotonic()
+    res = extract(spark, docs, with_metrics=False, persist_inference=True)
+    n_spans = res.spans.count()
+    n_docs = res.docs.count()
+    res.unpersist()
+    dt = time.monotonic() - t0
+    if best is None or dt < best[0]:
+        best = (dt, n_docs, n_spans)
+spark.stop()
+dt, n_docs, n_spans = best
+print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
+                  "n_docs": n_docs, "n_spans": n_spans,
+                  "docs_per_sec": round(n_docs / dt, 2),
+                  "spans_per_sec": round(n_spans / dt, 2)}))
+"""
+
+
+def run_level(cores: int, sf_dir: str, reps: int = 2) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _WORKER.format(repo=REPO), str(cores), sf_dir, str(reps)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n = int(os.environ.get("SCALE_N", "8"))
+    lo = run_level(n, sf_dir)
+    hi = run_level(4 * n, sf_dir)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    report = {
+        "sf_dir": sf_dir,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "(thr_4N / thr_N) / 4 >= 0.8",
+        "pass": eff >= 0.8,
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(report, indent=2))
+    md = f"""# BENCH BASELINE — extraction throughput & scaling
+
+Input: synthesized interleaved documents from `{sf_dir}` (same input at
+both parallelism levels; sandbox stand-in for N vs 4N executors per
+BASELINE.json north_rule).
+
+| parallelism | wall (s) | docs | spans | docs/sec | spans/sec |
+|---|---|---|---|---|---|
+| local[{lo['cores']}] | {lo['wall_sec']} | {lo['n_docs']} | {lo['n_spans']} | {lo['docs_per_sec']} | {lo['spans_per_sec']} |
+| local[{hi['cores']}] | {hi['wall_sec']} | {hi['n_docs']} | {hi['n_spans']} | {hi['docs_per_sec']} | {hi['spans_per_sec']} |
+
+**Scaling efficiency** `(thr_{{4N}}/thr_N)/4` = **{eff:.3f}**
+(criterion ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+Generated {report['generated_at']} by BENCH/scaling.py.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

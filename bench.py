@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus (stderr) docs/sec + lines/sec for the flagship extraction so the
+throughput trend is visible round over round.  The N-vs-4N scaling run
+lives in BENCH/scaling.py (separate, slower).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pero_ocr_api_spark.plans.pipeline import extract
+from pero_ocr_api_spark.queries.controlplane import REGISTRY as CP
+from pero_ocr_api_spark.functions.dedup import REGISTRY as DEDUP
+from pero_ocr_api_spark.functions.similarity import REGISTRY as SIM
+from pero_ocr_api_spark.functions.text import REGISTRY as TEXT
+from pero_ocr_api_spark.session import get_spark
+from pero_ocr_api_spark.synth import interleaved_documents
+
+
+def bench_extraction(spark, sf_dir: str) -> tuple[float, dict]:
+    t0 = time.monotonic()
+    docs = interleaved_documents(spark, sf_dir)
+    res = extract(spark, docs, with_metrics=False, persist_inference=True)
+    n_spans = res.spans.count()
+    n_docs = res.docs.count()
+    res.unpersist()
+    dt = time.monotonic() - t0
+    return dt, {"n_docs": n_docs, "n_spans": n_spans,
+                "docs_per_sec": round(n_docs / dt, 1),
+                "spans_per_sec": round(n_spans / dt, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(
+        app_name="bench", parallelism=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    dt, stats = bench_extraction(spark, sf_dir)
+    timings["extract_pipeline"] = round(dt, 3)
+    print(f"extraction: {stats}", file=sys.stderr)
+
+    others = {
+        "cp_tpch_q1": CP["cp_tpch_q1_pricing"][0],
+        "cp_j1_join": CP["cp_j1_three_way_join"][0],
+        "cp_w1_latest": CP["cp_w1_latest_per_group"][0],
+        "td_dedup_minhash": DEDUP["td_dedup_minhash_lsh"][0],
+        "td_dedup_simhash": DEDUP["td_dedup_simhash"][0],
+        "td_sim_topk": SIM["td_sim_bruteforce_topk"][0],
+        "td_text_quality": TEXT["td_text_quality"][0],
+    }
+    for name, fn in others.items():
+        t = time.monotonic()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t, 3)
+
+    total = round(time.monotonic() - t0, 3)
+    spark.stop()
+    print(json.dumps({
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction_throughput": stats,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

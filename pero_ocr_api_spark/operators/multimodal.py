@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns + typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.  The actual codec work is STUBBED — this
+container ships no image/audio libraries — behind ``_decode_real``
+(raises NotImplementedError) with a deterministic fake
+(``_decode_fake``) used everywhere, so the Spark-side contract (schema,
+batch shape, partitioning) is real and tested while the codec is
+swappable.
+
+Reference analog: image fetch + cv2.imdecode + gray→3-channel
+normalization at /root/reference/processing_client/run_client.py:139-166,
+MAX_MEGAPIXELS/DOWNSAMPLE caps /root/reference/app/db/model.py:188-192.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_BYTES_SCHEMA = (
+    "media_ref string, payload binary, format string, width int, height int"
+)
+DECODE_SCHEMA = (
+    "media_ref string, width int, height int, channels int, "
+    "mean_intensity double, ok boolean"
+)
+RESIZE_SCHEMA = (
+    "media_ref string, out_width int, out_height int, scale double"
+)
+FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_key string"
+
+MAX_MEGAPIXELS = 5.0  # model.py:190 cap analog: downsample before inference
+
+
+def synth_media_bytes(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Attach a deterministic fake binary payload + metadata to each
+    media_ref (the sandbox stand-in for fetching object-store bytes)."""
+    h = F.md5(F.col(ref_col))
+    return df.select(
+        F.col(ref_col).alias("media_ref"),
+        F.to_binary(F.repeat(h, 8), F.lit("hex")).alias("payload"),
+        F.element_at(
+            F.array(F.lit("jpg"), F.lit("png"), F.lit("tif")),
+            (F.ascii(F.substring(h, 1, 1)) % 3) + 1,
+        ).alias("format"),
+        (64 + F.ascii(F.substring(h, 2, 1)) * 16).cast("int").alias("width"),
+        (64 + F.ascii(F.substring(h, 3, 1)) * 8).cast("int").alias("height"),
+    )
+
+
+def _decode_real(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real codecs (cv2/PIL/ffmpeg) are not available in this container; "
+        "swap this in production"
+    )
+
+
+def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decode: tile the payload into an HxWx3 uint8
+    array (shape contract identical to cv2.imdecode + channel fix,
+    run_client.py:163-166), capped to MAX_MEGAPIXELS."""
+    mp = (width * height) / 1e6
+    if mp > MAX_MEGAPIXELS:
+        scale = (MAX_MEGAPIXELS / mp) ** 0.5
+        width, height = max(1, int(width * scale)), max(1, int(height * scale))
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    n = width * height * 3
+    return np.resize(buf, n).reshape(height, width, 3)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary payload → shape + intensity
+    features.  Row-level failures set ok=False, never throw."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload, w, h in zip(
+                pdf["media_ref"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    img = _decode_fake(bytes(payload), int(w), int(h))
+                    rows.append(
+                        (ref, img.shape[1], img.shape[0], img.shape[2],
+                         float(img.mean()), True)
+                    )
+                except Exception:
+                    rows.append((ref, 0, 0, 0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "width", "height", "channels",
+                    "mean_intensity", "ok",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema=DECODE_SCHEMA)
+
+
+def resize_images(df: DataFrame, target_long_edge: int = 512) -> DataFrame:
+    """Pure-DataFrame resize planning (scale factor per image) — the
+    arithmetic the cropper stage applies (LINE_HEIGHT/DOWNSAMPLE knobs,
+    model.py:168-171,188-192)."""
+    long_edge = F.greatest("width", "height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(target_long_edge)) / long_edge)
+    return df.select(
+        "media_ref",
+        F.round(F.col("width") * scale).cast("int").alias("out_width"),
+        F.round(F.col("height") * scale).cast("int").alias("out_height"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling stub: deterministic frame keys per
+    media_ref via mapInPandas (batch shape real, decode fake)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                n_frames = 1 + ord(hashlib.md5(ref.encode()).hexdigest()[0]) % 30
+                for i in range(0, n_frames, every_n):
+                    key = hashlib.md5(f"{ref}#f{i}".encode()).hexdigest()[:12]
+                    rows.append((ref, i, key))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_idx", "frame_key"]
+            )
+
+    return df.select("media_ref").mapInPandas(fn, schema=FRAME_SAMPLE_SCHEMA)

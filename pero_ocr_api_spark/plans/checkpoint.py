@@ -1,0 +1,158 @@
+"""Snapshot-checkpointed extraction runs — the sandbox realization of
+Iceberg snapshot commits (north_rule: resumable from checkpoint at
+partition granularity with per-partition lineage + metrics).
+
+Reference analog: the page state machine is the reference's implicit
+checkpoint (/root/reference/app/db/model.py:13-22 states; re-queue of
+timed-out work /root/reference/app/__init__.py:71-119; idempotent
+download-skip /root/reference/user_scripts/retrieve_ocr_results.py:62-64).
+
+Mechanics:
+- documents are hash-bucketed into ``n_groups`` partition-groups
+  (pmod(xxhash64(doc_id), n_groups)) — the commit granularity;
+- each group's results land under ``spans/group=G/`` + ``docs/group=G/``
+  (dynamic overwrite per group = idempotent re-run);
+- a group becomes VISIBLE only when its manifest file
+  ``_manifest/group-G.json`` is atomically renamed into place with its
+  lineage row (doc/span counts, wall_ms, metrics) — write-then-rename
+  gives the atomic results+lineage commit of an Iceberg snapshot;
+- resume = skip committed groups (the left-anti of work vs manifest);
+  a killed job re-runs only the uncommitted remainder and the final
+  table is byte-identical to an uninterrupted run (tests prove it).
+
+On a real cluster the same code commits to an Iceberg catalog
+(writeTo(...).append() inside a snapshot) — only _commit_group changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import extract
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by run(fail_after=...) to model a mid-job crash in tests."""
+
+
+class CheckpointedExtractor:
+    def __init__(self, output_dir: str, n_groups: int = 8, salt_partitions: int | None = None):
+        self.output_dir = output_dir
+        self.n_groups = n_groups
+        self.salt_partitions = salt_partitions
+        self.manifest_dir = os.path.join(output_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ---- manifest (snapshot log) ----
+    def _manifest_path(self, group: int) -> str:
+        return os.path.join(self.manifest_dir, f"group-{group}.json")
+
+    def committed_groups(self) -> dict[int, dict]:
+        out = {}
+        for g in range(self.n_groups):
+            p = self._manifest_path(g)
+            if os.path.exists(p):
+                with open(p) as f:
+                    out[g] = json.load(f)
+        return out
+
+    def _commit_group(self, group: int, lineage: dict) -> None:
+        tmp = self._manifest_path(group) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f)
+        os.replace(tmp, self._manifest_path(group))  # atomic snapshot commit
+
+    # ---- run / resume ----
+    def _grouped(self, documents: DataFrame) -> DataFrame:
+        return documents.withColumn(
+            "group_id", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_groups)).cast("int")
+        )
+
+    def run(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        run_id: str | None = None,
+        fail_after: int | None = None,
+    ) -> dict:
+        """Process all uncommitted groups; returns the manifest.  If
+        ``fail_after`` is set, raises SimulatedFailure after that many
+        fresh commits (kill/resume testing)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        grouped = self._grouped(documents)
+        done = self.committed_groups()
+        fresh = 0
+        for g in range(self.n_groups):
+            if g in done:
+                continue
+            t0 = time.monotonic()
+            sub = grouped.filter(F.col("group_id") == g).drop("group_id")
+            res = extract(
+                spark, sub,
+                salt_partitions=self.salt_partitions,
+                persist_inference=True,
+            )
+            spans_path = os.path.join(self.output_dir, "spans", f"group={g}")
+            docs_path = os.path.join(self.output_dir, "docs", f"group={g}")
+            res.spans.write.mode("overwrite").parquet(spans_path)
+            res.docs.write.mode("overwrite").parquet(docs_path)
+            span_count = spark.read.parquet(spans_path).count()
+            doc_count = spark.read.parquet(docs_path).count()
+            res.unpersist()
+            lineage = {
+                "run_id": run_id,
+                "group_id": g,
+                "doc_count": doc_count,
+                "span_count": span_count,
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "metrics": res.metrics.as_dict(),
+            }
+            self._commit_group(g, lineage)
+            fresh += 1
+            if fail_after is not None and fresh >= fail_after:
+                raise SimulatedFailure(
+                    f"injected failure after {fresh} group commits"
+                )
+        return self.committed_groups()
+
+    # ---- reads (only committed groups are visible) ----
+    def _read_committed(self, spark: SparkSession, sub: str) -> DataFrame:
+        groups = sorted(self.committed_groups())
+        paths = [
+            os.path.join(self.output_dir, sub, f"group={g}") for g in groups
+        ]
+        if not paths:
+            raise ValueError("no committed groups")
+        return spark.read.parquet(*paths)
+
+    def read_spans(self, spark: SparkSession) -> DataFrame:
+        return self._read_committed(spark, "spans")
+
+    def read_docs(self, spark: SparkSession) -> DataFrame:
+        return self._read_committed(spark, "docs")
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            {k: v for k, v in lin.items() if k != "metrics"}
+            for lin in self.committed_groups().values()
+        ]
+        return spark.createDataFrame(rows) if rows else spark.createDataFrame(
+            [], "run_id string, group_id int, doc_count long, span_count long, "
+            "wall_ms long, committed_at string"
+        )
+
+    def remaining_docs(self, spark: SparkSession, documents: DataFrame) -> DataFrame:
+        """Doc-level resume view: documents not yet in any committed
+        group — the left-anti of input vs extracted output."""
+        try:
+            done = self.read_docs(spark).select("doc_id")
+        except ValueError:
+            return documents
+        return documents.join(done, "doc_id", "left_anti")

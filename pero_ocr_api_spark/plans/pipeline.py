@@ -69,6 +69,11 @@ class ExtractResult:
     docs: DataFrame        # doc_id, score, status
     spans_conf: DataFrame = None  # spans + conf (internal/serialization use)
     metrics: ExtractMetrics = field(default_factory=ExtractMetrics)
+    persisted: DataFrame = None   # set when persist_inference=True
+
+    def unpersist(self) -> None:
+        if self.persisted is not None:
+            self.persisted.unpersist()
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -90,6 +95,7 @@ def extract(
     engine_config: Optional[dict] = None,
     salt_partitions: Optional[int] = None,
     with_metrics: bool = True,
+    persist_inference: bool = False,
 ) -> ExtractResult:
     sc = spark.sparkContext
     config = engine_config or DEFAULT_ENGINE_CONFIG
@@ -136,6 +142,11 @@ def extract(
         metrics.decode_failures,
     )
     inferred = media_in.mapInPandas(infer_fn, schema=INFER_SCHEMA)
+    if persist_inference:
+        # one traversal of the Python stage even when several actions
+        # (spans write + docs write) consume it; also keeps accumulator
+        # metrics exact instead of recompute-inflated
+        inferred = inferred.persist()
 
     errors = inferred.filter(F.col("error").isNotNull()).select(
         "doc_id", "offset", "error"
@@ -186,4 +197,5 @@ def extract(
         docs=docs_out,
         spans_conf=out_spans,
         metrics=metrics,
+        persisted=inferred if persist_inference else None,
     )

@@ -1,0 +1,66 @@
+"""Lifecycle tests (SURVEY §5.3): kill-and-resume produces a final table
+identical to an uninterrupted run, with no duplicate lineage and no
+partially-visible (uncommitted) results."""
+
+import pytest
+
+from pero_ocr_api_spark.plans.checkpoint import CheckpointedExtractor, SimulatedFailure
+from pero_ocr_api_spark.synth import interleaved_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    return interleaved_documents(spark, sf_smoke)
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_kill_and_resume_identical(spark, docs, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ckpt")
+
+    # uninterrupted reference run
+    full = CheckpointedExtractor(str(base / "full"), n_groups=4)
+    full.run(spark, docs, run_id="full")
+    expected_spans = _collect_sorted(full.read_spans(spark))
+    expected_docs = _collect_sorted(full.read_docs(spark))
+
+    # killed after 2 of 4 group commits
+    half = CheckpointedExtractor(str(base / "half"), n_groups=4)
+    with pytest.raises(SimulatedFailure):
+        half.run(spark, docs, run_id="try1", fail_after=2)
+    committed = half.committed_groups()
+    assert len(committed) == 2
+
+    # only committed groups are visible mid-crash
+    partial = _collect_sorted(half.read_spans(spark))
+    assert 0 < len(partial) < len(expected_spans)
+
+    # resume completes the remainder; final state identical
+    half.run(spark, docs, run_id="try2")
+    assert len(half.committed_groups()) == 4
+    assert _collect_sorted(half.read_spans(spark)) == expected_spans
+    assert _collect_sorted(half.read_docs(spark)) == expected_docs
+
+    # lineage: one row per group, no duplicates, counts add up
+    lineage = half.lineage_df(spark).collect()
+    assert sorted(r.group_id for r in lineage) == [0, 1, 2, 3]
+    assert sum(r.span_count for r in lineage) == len(expected_spans)
+    assert sum(r.doc_count for r in lineage) == len(expected_docs)
+    # resumed groups carry the resume run_id
+    assert {r.run_id for r in lineage} == {"try1", "try2"}
+
+
+def test_remaining_docs_left_anti(spark, docs, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ckpt2")
+    ck = CheckpointedExtractor(str(base / "out"), n_groups=4)
+    total = docs.count()
+    assert ck.remaining_docs(spark, docs).count() == total
+    with pytest.raises(SimulatedFailure):
+        ck.run(spark, docs, fail_after=2)
+    remaining = ck.remaining_docs(spark, docs).count()
+    done = ck.read_docs(spark).count()
+    assert remaining + done == total
+    ck.run(spark, docs)
+    assert ck.remaining_docs(spark, docs).count() == 0

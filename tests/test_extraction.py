@@ -1,0 +1,104 @@
+"""Golden span-sequence tests: the Spark pipeline must equal the
+single-threaded pure-Python oracle on 100% of documents
+(BASELINE.json metric; reference golden-file methodology:
+/root/reference/processing_client/run_client.py:32-33,224-230)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark import oracle
+from pero_ocr_api_spark.constants import (
+    ERROR_STATES, KIND_MEDIA, KIND_TEXT, STATE_PROCESSED,
+)
+from pero_ocr_api_spark.operators.normalize import fix_arabic
+from pero_ocr_api_spark.operators.serialize import serialize_artifacts
+from pero_ocr_api_spark.plans.pipeline import extract
+from pero_ocr_api_spark.session import load_table
+from pero_ocr_api_spark.synth import interleaved_documents
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_smoke):
+    docs = interleaved_documents(spark, sf_smoke)
+    return extract(spark, docs, salt_partitions=16, with_metrics=False)
+
+
+@pytest.fixture(scope="module")
+def oracle_docs(spark, sf_smoke):
+    flat = load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    return oracle.extract_all([(r.doc_id, r.text) for r in flat])
+
+
+def test_span_sequence_equality(result, oracle_docs):
+    got = {}
+    for r in result.spans.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.order, r.kind, r.text, r.media_ref)
+        )
+    for v in got.values():
+        v.sort()
+    assert set(got) | {d for d, o in oracle_docs.items() if not o.spans} == set(
+        oracle_docs
+    )
+    n_checked = 0
+    for doc_id, od in oracle_docs.items():
+        assert got.get(doc_id, []) == od.spans, f"span mismatch in {doc_id}"
+        n_checked += 1
+    assert n_checked == len(oracle_docs)  # 100% of docs
+
+
+def test_scores_and_status(result, oracle_docs):
+    got = {r.doc_id: (r.score, r.status) for r in result.docs.collect()}
+    assert set(got) == set(oracle_docs)
+    for doc_id, od in oracle_docs.items():
+        assert got[doc_id] == (od.score, od.status), doc_id
+
+
+def test_error_taxonomy_present(result):
+    states = {r.status for r in result.docs.select("status").distinct().collect()}
+    assert STATE_PROCESSED in states
+    assert states - {STATE_PROCESSED} <= set(ERROR_STATES)
+    # fixture guarantees some failures exist (FIXTURES.md error coverage)
+    assert len(states) > 1
+
+
+def test_orders_dense_per_doc(result):
+    bad = (
+        result.spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("order").alias("lo"),
+            F.max("order").alias("hi"),
+        )
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_kinds_are_valid(result):
+    kinds = {r.kind for r in result.spans.select("kind").distinct().collect()}
+    assert kinds == {KIND_TEXT, KIND_MEDIA}
+
+
+def test_arabic_normalization_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("plain-line",), ("ar-ابتث"[::-1],)], "text string"
+    )
+    out = [r.text for r in df.select(fix_arabic(F.col("text")).alias("text")).collect()]
+    assert out[0] == "plain-line"
+    assert out[1] == "ar-ابتث"
+
+
+def test_serializers(result):
+    arts = serialize_artifacts(result.spans)
+    row = arts.orderBy("doc_id").first()
+    assert row.alto_name == f"{row.doc_id}_alto.xml"
+    assert row.page_name == f"{row.doc_id}_page.xml"
+    assert row.txt_name == f"{row.doc_id}.txt"
+    assert row.alto_xml.startswith("<alto>") and row.alto_xml.endswith("</alto>")
+    assert row.page_xml.startswith("<PcGts>")
+    assert "\n" in row.txt or len(row.txt) > 0
+    # line order inside the artifact matches reading order
+    spans = result.spans.filter(F.col("doc_id") == row.doc_id).orderBy("order").collect()
+    assert row.txt == "\n".join(s.text for s in spans)

@@ -1,0 +1,28 @@
+"""Replicates the driver's correctness gate locally: every queries()
+entry with an oracle must match DuckDB (row count + schema + values)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from pero_ocr_api_spark.compare import run_pair
+
+_REG = entry_mod._registry()
+_PAIRS = [(n, fn, sql) for n, (fn, sql) in _REG.items() if sql is not None]
+
+
+@pytest.mark.parametrize("name,fn,sql", _PAIRS, ids=[p[0] for p in _PAIRS])
+def test_oracle_parity(spark, sf_smoke, name, fn, sql):
+    problems = run_pair(spark, sf_smoke, fn, sql)
+    assert not problems, problems
+
+
+def test_rows_only_queries_run(spark, sf_smoke):
+    for name, (fn, sql) in _REG.items():
+        if sql is None:
+            assert fn(spark, sf_smoke).count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "order", "kind", "text", "media_ref"]
