@@ -19,22 +19,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, REPO_PLACEHOLDER)
 from pero_ocr_api_spark.session import get_spark
-from pero_ocr_api_spark.synth import interleaved_documents
 from pero_ocr_api_spark.plans.pipeline import extract
+from bench import BENCH_ENGINE_CONFIG, materialize_input
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; reps = int(sys.argv[3])
 spark = get_spark(app_name=f"scale-{cores}", parallelism=cores,
                   shuffle_partitions=max(4 * cores, 32),
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
-docs = interleaved_documents(spark, sf_dir)
-# warmup (JIT + file listing)
-extract(spark, docs, with_metrics=False).spans.count()
+input_path = materialize_input(spark, sf_dir, "/tmp/spark_graft_bench")
+docs = spark.read.parquet(input_path)
+# warmup (JIT + file listing); same job/config as every timed rep
+extract(spark, docs, engine_config=BENCH_ENGINE_CONFIG,
+        with_metrics=False).spans.count()
 best = None
 for _ in range(reps):
     t0 = time.monotonic()
-    res = extract(spark, docs, with_metrics=False, persist_inference=True)
+    res = extract(spark, docs, engine_config=BENCH_ENGINE_CONFIG,
+                  with_metrics=False, persist_inference=True)
     n_spans = res.spans.count()
     n_docs = res.docs.count()
     res.unpersist()
@@ -51,8 +54,9 @@ print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
 
 
 def run_level(cores: int, sf_dir: str, reps: int = 2) -> dict:
+    script = _WORKER.replace("REPO_PLACEHOLDER", repr(REPO))
     out = subprocess.run(
-        [sys.executable, "-c", _WORKER.format(repo=REPO), str(cores), sf_dir, str(reps)],
+        [sys.executable, "-c", script, str(cores), sf_dir, str(reps)],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])

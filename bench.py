@@ -27,11 +27,35 @@ from pero_ocr_api_spark.functions.text import REGISTRY as TEXT
 from pero_ocr_api_spark.session import get_spark
 from pero_ocr_api_spark.synth import interleaved_documents
 
+# Emulated per-page model cost (real layout+OCR inference is 10^2-10^3 ms
+# on CPU; the md5 stub alone is ~10 µs — see operators/inference.py).
+# ~2000 md5 chains ≈ 1 ms/page: heavy enough that throughput measures the
+# pipeline, light enough for per-round benching.
+BENCH_ENGINE_CONFIG = {"engine": "stub-ocr", "version": 1, "work_iters": 2000}
 
-def bench_extraction(spark, sf_dir: str) -> tuple[float, dict]:
+
+def materialize_input(spark, sf_dir: str, cache_dir: str) -> str:
+    """Write the synthesized interleaved table to parquet once per sf —
+    the bench then measures scan→extract (the north_star shape), not
+    synthesis."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(cache_dir, f"interleaved_{tag}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        interleaved_documents(spark, sf_dir).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def bench_extraction(spark, input_path: str) -> tuple[float, dict]:
+    docs = spark.read.parquet(input_path)
     t0 = time.monotonic()
-    docs = interleaved_documents(spark, sf_dir)
-    res = extract(spark, docs, with_metrics=False, persist_inference=True)
+    res = extract(
+        spark, docs,
+        engine_config=BENCH_ENGINE_CONFIG,
+        with_metrics=False, persist_inference=True,
+    )
     n_spans = res.spans.count()
     n_docs = res.docs.count()
     res.unpersist()
@@ -53,8 +77,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    input_path = materialize_input(spark, sf_dir, "/tmp/spark_graft_bench")
     t0 = time.monotonic()
-    dt, stats = bench_extraction(spark, sf_dir)
+    dt, stats = bench_extraction(spark, input_path)
     timings["extract_pipeline"] = round(dt, 3)
     print(f"extraction: {stats}", file=sys.stderr)
 

@@ -79,13 +79,30 @@ def stub_infer_one(media_ref: str) -> tuple[Optional[str], list[tuple[int, str, 
 class _StubEngine:
     """Per-executor model singleton.  A real deployment loads broadcast
     weights here once and reuses them across every Arrow batch the
-    executor sees (never re-pickled per batch)."""
+    executor sees (never re-pickled per batch).
+
+    ``config['work_iters']`` emulates the CPU cost of real model
+    inference (layout CNN + CTC decode are ~10^2-10^3 ms/page on CPU;
+    the md5 stub alone is ~10 µs, which would make any scaling
+    measurement measure scheduler overhead instead of pipeline
+    parallelism).  The burn is deterministic and does not affect
+    output."""
 
     def __init__(self, config: dict):
         self.config = config
+        self.work_iters = int(config.get("work_iters", 0))
+
+    def _burn(self, seed: str) -> None:
+        h = seed.encode()
+        for _ in range(self.work_iters):
+            h = hashlib.md5(h).digest()
 
     def infer_batch(self, refs: pd.Series) -> list[tuple[Optional[str], list]]:
-        return [stub_infer_one(r) for r in refs]
+        out = [stub_infer_one(r) for r in refs]
+        if self.work_iters:
+            for r in refs:
+                self._burn(r)
+        return out
 
 
 _ENGINE: Optional[_StubEngine] = None
