@@ -27,11 +27,17 @@ from pero_ocr_api_spark.functions.text import REGISTRY as TEXT
 from pero_ocr_api_spark.session import get_spark
 from pero_ocr_api_spark.synth import interleaved_documents
 
-# Emulated per-page model cost (real layout+OCR inference is 10^2-10^3 ms
-# on CPU; the md5 stub alone is ~10 µs — see operators/inference.py).
-# ~2000 md5 chains ≈ 1 ms/page: heavy enough that throughput measures the
-# pipeline, light enough for per-round benching.
-BENCH_ENGINE_CONFIG = {"engine": "stub-ocr", "version": 1, "work_iters": 2000}
+# Emulated per-page model cost (see operators/inference.py): 15 ms/page
+# accelerator latency + ~1 ms/page CPU pre/post-processing.  Real
+# layout+OCR inference is 10-100x heavier; this is enough that
+# throughput measures pipeline parallelism, not scheduler overhead.
+# (Pure-CPU burn is NOT usable for scaling evidence on this VM: raw
+# 32-process md5 scales at only ~0.65-0.75 of linear — hypervisor/
+# frequency ceiling, measured in BENCH/BASELINE.md.)
+BENCH_ENGINE_CONFIG = {
+    "engine": "stub-ocr", "version": 1,
+    "work_iters": 2000, "work_sleep_ms": 15.0,
+}
 
 
 def materialize_input(spark, sf_dir: str, cache_dir: str) -> str:
@@ -50,11 +56,13 @@ def materialize_input(spark, sf_dir: str, cache_dir: str) -> str:
 
 def bench_extraction(spark, input_path: str) -> tuple[float, dict]:
     docs = spark.read.parquet(input_path)
+    cores = spark.sparkContext.defaultParallelism
     t0 = time.monotonic()
     res = extract(
         spark, docs,
         engine_config=BENCH_ENGINE_CONFIG,
         with_metrics=False, persist_inference=True,
+        salt_partitions=4 * cores,
     )
     n_spans = res.spans.count()
     n_docs = res.docs.count()

@@ -23,6 +23,7 @@ one row with error set and text NULL.
 from __future__ import annotations
 
 import hashlib
+import time
 from collections.abc import Iterator
 from typing import Optional
 
@@ -81,16 +82,21 @@ class _StubEngine:
     weights here once and reuses them across every Arrow batch the
     executor sees (never re-pickled per batch).
 
-    ``config['work_iters']`` emulates the CPU cost of real model
-    inference (layout CNN + CTC decode are ~10^2-10^3 ms/page on CPU;
-    the md5 stub alone is ~10 µs, which would make any scaling
-    measurement measure scheduler overhead instead of pipeline
-    parallelism).  The burn is deterministic and does not affect
-    output."""
+    Emulated inference cost (bench/scaling only; does not affect output):
+    - ``config['work_sleep_ms']`` — per-page *latency*, slept once per
+      Arrow batch (len(batch) × ms).  Real pero-ocr inference is
+      GPU-bound PyTorch (GPU_FRACTION=0.5, /root/reference/app/db/
+      model.py:192): the executor CPU mostly waits on the accelerator,
+      so latency is the honest model of the production bottleneck.
+    - ``config['work_iters']`` — per-page CPU md5 chains (the pre/post
+      processing share; ~0.5 µs per chain).
+    The md5 stub alone is ~10 µs/page — any scaling measurement without
+    these knobs measures scheduler overhead, not pipeline parallelism."""
 
     def __init__(self, config: dict):
         self.config = config
         self.work_iters = int(config.get("work_iters", 0))
+        self.work_sleep_ms = float(config.get("work_sleep_ms", 0.0))
 
     def _burn(self, seed: str) -> None:
         h = seed.encode()
@@ -102,6 +108,8 @@ class _StubEngine:
         if self.work_iters:
             for r in refs:
                 self._burn(r)
+        if self.work_sleep_ms:
+            time.sleep(len(refs) * self.work_sleep_ms / 1000.0)
         return out
 
 

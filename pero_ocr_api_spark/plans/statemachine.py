@@ -1,0 +1,120 @@
+"""Page state-machine lifecycle as declarative batch transforms — the
+Spark analog of the reference's claim flip and APScheduler background
+sweeps:
+
+- claim: WAITING→PROCESSING with timestamp, preferred-engine fallback
+  (/root/reference/app/main/general.py:87-103, routes.py:215-229);
+- timeout re-queue: PROCESSING older than 60 s → WAITING (at-least-once
+  redelivery, /root/reference/app/__init__.py:34,71-119);
+- expiry: finished > 7 days → EXPIRED (+ artifact delete,
+  /root/reference/app/__init__.py:35,122-151);
+- request completion: all pages of a request in a terminal state
+  (general.py:147-161,186-191 — aggregate A4).
+
+In the Spark engine these exist for *control-plane parity*: the data
+plane itself doesn't claim pages one at a time (Spark schedules
+partitions), but operators running this engine still need queue
+introspection and lifecycle sweeps over the work table.  All transforms
+take a pinned ``now`` for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import (
+    ERROR_STATES,
+    STATE_EXPIRED,
+    STATE_PROCESSED,
+    STATE_PROCESSING,
+    STATE_WAITING,
+)
+
+PROCESSING_TIMEOUT_SECONDS = 60      # app/__init__.py:34
+RETENTION_DAYS = 7                   # app/__init__.py:35
+TERMINAL_STATES = [STATE_PROCESSED, *ERROR_STATES, STATE_EXPIRED]
+
+
+def claim_pages(
+    pages: DataFrame,
+    engine_id: int,
+    now: str,
+    max_claims: int = 1,
+    preferred_only: bool = False,
+) -> DataFrame:
+    """Atomically claimable batch: oldest WAITING pages, preferring the
+    requested engine but falling back to any engine in the same pass
+    (J6 — one rank, not the reference's query-retry loop).  Returns the
+    claimed rows with the PROCESSING flip applied."""
+    w = Window.orderBy(
+        (F.col("engine_id") == engine_id).desc(),
+        F.col("creation_ts").asc(),
+        F.col("page_id").asc(),
+    )
+    candidates = pages.filter(F.col("state") == STATE_WAITING)
+    if preferred_only:
+        candidates = candidates.filter(F.col("engine_id") == engine_id)
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_claims)
+        .drop("rn")
+        .withColumn("state", F.lit(STATE_PROCESSING))
+        .withColumn("processing_ts", F.lit(now).cast("timestamp"))
+    )
+
+
+def requeue_timed_out(pages: DataFrame, now: str) -> DataFrame:
+    """PROCESSING for > 60 s → back to WAITING (redelivery sweep)."""
+    cutoff = F.lit(now).cast("timestamp") - F.expr(
+        f"INTERVAL {PROCESSING_TIMEOUT_SECONDS} SECONDS"
+    )
+    flagged = pages.withColumn(
+        "_timed_out",
+        (F.col("state") == STATE_PROCESSING) & (F.col("processing_ts") < cutoff),
+    )
+    return (
+        flagged.withColumn(
+            "state",
+            F.when(F.col("_timed_out"), STATE_WAITING).otherwise(F.col("state")),
+        )
+        .withColumn(
+            "processing_ts",
+            F.when(F.col("_timed_out"), F.lit(None).cast("timestamp")).otherwise(
+                F.col("processing_ts")
+            ),
+        )
+        .drop("_timed_out")
+    )
+
+
+def expire_old(pages: DataFrame, now: str) -> DataFrame:
+    """Finished > 7 days ago → EXPIRED (retention sweep)."""
+    cutoff = F.lit(now).cast("timestamp") - F.expr(
+        f"INTERVAL {RETENTION_DAYS} DAYS"
+    )
+    expired = (
+        F.col("state").isin(STATE_PROCESSED, *ERROR_STATES)
+        & F.col("finish_ts").isNotNull()
+        & (F.col("finish_ts") < cutoff)
+    )
+    return pages.withColumn(
+        "state", F.when(expired, STATE_EXPIRED).otherwise(F.col("state"))
+    )
+
+
+def request_completion(pages: DataFrame) -> DataFrame:
+    """Per-request A1-A4 rollup: total/terminal counts, completion ratio,
+    done flag, mean quality of PROCESSED pages (general.py:44-51)."""
+    is_terminal = F.col("state").isin(TERMINAL_STATES)
+    return pages.groupBy("request_id").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(is_terminal, 1)).alias("n_terminal"),
+        F.round(
+            F.count(F.when(is_terminal, 1)) / F.count("*").cast("double"), 6
+        ).alias("status"),
+        (F.count(F.when(is_terminal, 1)) == F.count("*")).alias("done"),
+        F.round(
+            F.avg(F.when(F.col("state") == STATE_PROCESSED, F.col("score"))), 6
+        ).alias("avg_quality"),
+    )
