@@ -198,3 +198,156 @@ def ann_topk_lsh(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
 
 
 REGISTRY["td_sim_ann_lsh_topk"] = (ann_topk_lsh, None)  # approximate: rows-only
+
+
+# ------------------------------------------- embedding-cosine near-dup
+NEAR_DUP_THRESHOLD = 0.35  # synthetic gaussian vectors: cos ~ N(0, 1/8)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, blocked by LSH bucket:
+    candidates are same-signature pairs only (equi-join — at 10^12 rows
+    the all-pairs product is impossible; a bucket is the unit of work)."""
+    emb = load_table(spark, sf, "embeddings")
+    sigs = q_lsh_signature(spark, sf)
+    e = emb.join(sigs, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("signature").alias("sig"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("signature").alias("sig"),
+    )
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        6,
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+def _near_dup_sql() -> str:
+    dot = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(a.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""WITH sigs AS ({_lsh_sql()}),
+e AS (SELECT s.vec_id, s.signature, m.embedding
+      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine
+  FROM e a JOIN e b ON a.signature = b.signature AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+REGISTRY["td_dedup_embedding_cosine"] = (q_embedding_near_dup, _near_dup_sql())
+
+
+# --------------------------------------------------- IVF ANN (scale path)
+N_CENTROIDS = 8  # deterministic "training": centroids = vec_id < 8
+
+
+def _assignments(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (IVF cell)."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "c_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("c_emb"))),
+            6,
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF(nprobe=1) top-k: each query searches only its own cell — the
+    canonical inverted-file ANN layout (cells = partitions at scale)."""
+    assigned = _assignments(spark, sf)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("cell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+
+
+def _ivf_sql() -> str:
+    def dot(x, y):
+        return " + ".join(
+            f"CAST({x}.embedding[{i}] AS DOUBLE) * CAST({y}.embedding[{i}] AS DOUBLE)"
+            for i in range(1, DIM + 1)
+        )
+
+    return f"""WITH cents AS (
+  SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.c_id,
+         round(({dot('e', 'c')})
+               / (sqrt({dot('e', 'e')}) * sqrt({dot('c', 'c')})), 6) AS cs
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM scored) t WHERE rn = 1),
+e AS (SELECT a.vec_id, a.cell, m.embedding
+      FROM assigned a JOIN embeddings m ON m.vec_id = a.vec_id),
+qs AS (SELECT vec_id AS q_id, cell, embedding FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(({dot('e', 'q')})
+               / (sqrt({dot('e', 'e')}) * sqrt({dot('q', 'q')})), 6) AS cosine
+  FROM e JOIN qs q ON e.cell = q.cell AND e.vec_id <> q.q_id)
+SELECT q_id, rank, n_id, cosine FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+  FROM pairs) t WHERE rank <= {TOP_K}
+"""
+
+
+REGISTRY["td_sim_ivf_topk"] = (q_ivf_topk, _ivf_sql())

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..constants import (
     ERROR_STATES,
+    STATE_CANCELED,
     STATE_EXPIRED,
     STATE_PROCESSED,
     STATE_PROCESSING,
@@ -33,7 +34,9 @@ from ..constants import (
 
 PROCESSING_TIMEOUT_SECONDS = 60      # app/__init__.py:34
 RETENTION_DAYS = 7                   # app/__init__.py:35
-TERMINAL_STATES = [STATE_PROCESSED, *ERROR_STATES, STATE_EXPIRED]
+TERMINAL_STATES = [
+    STATE_PROCESSED, *ERROR_STATES, STATE_EXPIRED, STATE_CANCELED,
+]
 
 
 def claim_pages(

@@ -370,6 +370,35 @@ def q_f1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---- F2: URL parse/format (routes.py:93-94, helper.py:1-9) ----
+@_reg(
+    "cp_f2_url_parse",
+    """WITH u AS (
+         SELECT p_partkey,
+                'http://' || lower(p_brand) || '.example.com/parts/'
+                  || p_partkey || '.html' AS url
+         FROM part)
+       SELECT p_partkey AS partkey,
+              regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+              regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path,
+              lower(regexp_extract(url, '\\.([^./]+)$', 1)) AS ext
+       FROM u""",
+)
+def q_f2(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    url = F.concat(
+        F.lit("http://"), F.lower("p_brand"), F.lit(".example.com/parts/"),
+        F.col("p_partkey").cast("string"), F.lit(".html"),
+    )
+    u = part.select(F.col("p_partkey").alias("partkey"), url.alias("url"))
+    return u.select(
+        "partkey",
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
+        F.lower(F.regexp_extract("url", r"\.([^./]+)$", 1)).alias("ext"),
+    )
+
+
 # ---- F3/F4: timestamp arithmetic window + scaling (general.py:130, routes.py:241) ----
 @_reg(
     "cp_f3_f4_daily_scaled",
