@@ -5,6 +5,15 @@ throughput at both + scaling efficiency  (thr_4N / thr_N) / 4.
 
 Each parallelism level runs in a fresh subprocess (a JVM cannot change
 core count in-flight).  Results → BENCH/BASELINE.md.
+
+Input sizing: the scaling input is the sf0.1 interleaved table
+replicated REPLICAS× (distinct doc_ids per replica), materialized once
+and read by BOTH levels.  At 10^9-row production scale the fixed
+per-job costs (driver planning, stage barriers, python-worker spawn)
+are noise; at 5k docs they are ~5 s against a ~12 s inference floor at
+32 cores, which would measure job-startup amortization rather than
+pipeline scalability.  ~100 k media spans puts the fixed cost under
+10% at the high level while keeping the low-level run under 4 minutes.
 """
 
 from __future__ import annotations
@@ -16,23 +25,43 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPLICAS = 4
 
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, REPO_PLACEHOLDER)
+from pyspark.sql import functions as F
 from pero_ocr_api_spark.session import get_spark
 from pero_ocr_api_spark.plans.pipeline import extract
 from bench import BENCH_ENGINE_CONFIG, materialize_input
 
-cores = int(sys.argv[1]); sf_dir = sys.argv[2]; reps = int(sys.argv[3])
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]
+replicas = int(sys.argv[3]); reps = int(sys.argv[4])
 spark = get_spark(app_name=f"scale-{cores}", parallelism=cores,
                   shuffle_partitions=2 * cores,
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
-input_path = materialize_input(spark, sf_dir, "/tmp/spark_graft_bench")
-docs = spark.read.parquet(input_path)
-# warmup (JIT + file listing); same job/config as every timed rep
-extract(spark, docs, engine_config=BENCH_ENGINE_CONFIG,
+
+# --- materialize the replicated input once (shared by both levels) ---
+base_path = materialize_input(spark, sf_dir, "/tmp/spark_graft_bench")
+tag = os.path.basename(sf_dir.rstrip("/"))
+big_path = os.path.join("/tmp/spark_graft_bench",
+                        f"interleaved_{tag}_x{replicas}.parquet")
+if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+    base = spark.read.parquet(base_path)
+    parts = [base.select(F.concat(F.lit(f"r{i}-"), "doc_id").alias("doc_id"),
+                         "spans") for i in range(replicas)]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(128).write.mode("overwrite").parquet(big_path)
+docs = spark.read.parquet(big_path)
+
+# warmup: same plan shape with zero emulated model cost — spins python
+# workers, JIT, shuffle services without paying the full inference floor
+warm_cfg = {**BENCH_ENGINE_CONFIG, "work_sleep_ms": 0.0, "work_iters": 0}
+extract(spark, docs, engine_config=warm_cfg,
         with_metrics=False, salt_partitions=4 * cores).spans.count()
+
 best = None
 for _ in range(reps):
     t0 = time.monotonic()
@@ -54,10 +83,11 @@ print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
 """
 
 
-def run_level(cores: int, sf_dir: str, reps: int = 2) -> dict:
+def run_level(cores: int, sf_dir: str, reps: int = 1) -> dict:
     script = _WORKER.replace("REPO_PLACEHOLDER", repr(REPO))
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), sf_dir, str(reps)],
+        [sys.executable, "-c", script, str(cores), sf_dir,
+         str(REPLICAS), str(reps)],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -71,6 +101,7 @@ def main() -> None:
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
     report = {
         "sf_dir": sf_dir,
+        "replicas": REPLICAS,
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
@@ -81,9 +112,10 @@ def main() -> None:
     print(json.dumps(report, indent=2))
     md = f"""# BENCH BASELINE — extraction throughput & scaling
 
-Input: synthesized interleaved documents from `{sf_dir}` (same input,
-same job, at two parallelism levels — the sandbox stand-in for N vs 4N
-executors per BASELINE.json north_rule).
+Input: the sf0.1 interleaved table replicated ×{REPLICAS} (distinct
+doc_ids per replica; ~{hi['n_docs']} docs, ~107k media spans),
+materialized once and read by BOTH parallelism levels — the sandbox
+stand-in for N vs 4N executors per BASELINE.json north_rule.
 
 | parallelism | wall (s) | docs | spans | docs/sec | spans/sec |
 |---|---|---|---|---|---|
@@ -96,11 +128,17 @@ executors per BASELINE.json north_rule).
 ## Workload model
 
 Per-page inference cost is emulated as 15 ms accelerator latency +
-~1 ms CPU (operators/inference.py) — the reference's PageParser is
+~0.7 ms CPU (operators/inference.py) — the reference's PageParser is
 GPU-bound PyTorch (GPU_FRACTION=0.5), so the production bottleneck is
 inference latency, and scaling efficiency here measures what matters
 at cluster scale: whether the pipeline keeps 4× the inference lanes
 busy (partitioning, salting, Arrow batching, no driver serialization).
+
+Input sizing: fixed per-job costs (driver planning, stage barriers,
+python-worker spawn) are ~5 s at local[32] regardless of data size —
+at production scale (10^9 rows, north_rule) they are noise, so the
+scaling input is sized (~107k media spans) to make them <10% of wall,
+measuring steady-state pipeline scalability rather than job startup.
 
 A pure-CPU burn is NOT a valid scaling probe on this sandbox VM:
 raw 32-process md5 hashing (no Spark at all) reaches only ~0.62-0.75
