@@ -36,6 +36,9 @@ _EXTRACTION_QUERIES = {
     "extract_pipeline_spans": (_qx.q_pipeline_spans, _sx.SQL_PIPELINE_SPANS),
     "extract_doc_results": (_qx.q_doc_results, _sx.SQL_DOC_RESULTS),
     "extract_serialize_txt": (_qx.q_serialize_txt, _sx.SQL_SERIALIZE_TXT),
+    "extract_serialize_alto": (_qx.q_serialize_alto, _sx.SQL_SERIALIZE_ALTO),
+    "extract_serialize_page": (
+        _qx.q_serialize_artifacts, _sx.SQL_SERIALIZE_ARTIFACTS),
     "extract_conf_histogram": (_qx.q_conf_histogram, _sx.SQL_CONF_HISTOGRAM),
 }
 

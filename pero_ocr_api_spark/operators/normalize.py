@@ -9,10 +9,12 @@ path; whole-stage codegen applies end-to-end).
   detection is a char-class rlike; the fix is reverse() — both built-in
   expressions, which beats the survey's pandas_udf suggestion (stays in
   codegen, no Arrow crossing).
-- ``filter_confident_lines``: drop lines at/below MIN_CONFIDENCE
-  (run_client.py:36-37,213-216); lines with NULL confidence pass
-  (reference: ``if line.transcription_confidence and ... > min_conf``
-  only filters lines *having* a confidence).
+- ``filter_confident_lines``: the PAGE/txt-path strip
+  (run_client.py:36-37,213-216): with a positive threshold the
+  reference keeps only lines where ``l.transcription_confidence and
+  l.transcription_confidence > min_conf`` — i.e. NULL/zero-confidence
+  lines are dropped too; with threshold <= 0 the strip is skipped
+  entirely (``if args.min_confidence > 0``) and every line passes.
 """
 
 from __future__ import annotations
@@ -45,5 +47,7 @@ def normalize_transcriptions(df: DataFrame, text_col: str = "text") -> DataFrame
 def filter_confident_lines(
     df: DataFrame, conf_col: str = "conf", threshold: float = MIN_CONFIDENCE
 ) -> DataFrame:
+    if threshold <= 0:
+        return df
     c = F.col(conf_col)
-    return df.filter(c.isNull() | (c > F.lit(threshold)))
+    return df.filter(c.isNotNull() & (c > F.lit(threshold)))

