@@ -137,3 +137,38 @@ def test_serialize_alto_dual_semantics(result):
             for r in result.spans.filter(F.col("doc_id") == ar.doc_id).collect()
         ]
         assert fixed in final_texts         # logical form in PAGE/txt path
+
+
+def test_accumulator_metrics_exact(spark, sf_smoke):
+    """A9 (north_star): pages_decoded / lines_emitted / decode_failures
+    accumulators must equal the oracle's ground truth exactly.
+    persist_inference=True guarantees one traversal of the Python stage
+    so accumulators are not recompute-inflated."""
+    from pero_ocr_api_spark.operators.inference import stub_infer_one
+    from pero_ocr_api_spark.plans.pipeline import explode_spans
+
+    docs = interleaved_documents(spark, sf_smoke)
+    res = extract(spark, docs, salt_partitions=16, persist_inference=True)
+    res.spans.count()
+    res.docs.count()
+    got = res.metrics.as_dict()
+    res.unpersist()
+
+    media_refs = [
+        r.media_ref
+        for r in explode_spans(docs).filter(F.col("kind") == KIND_MEDIA).collect()
+    ]
+    exp_pages = len(media_refs)
+    exp_failures = 0
+    exp_lines = 0
+    for ref in media_refs:
+        err, lines = stub_infer_one(ref)
+        if err is not None:
+            exp_failures += 1
+        else:
+            exp_lines += len(lines)
+    assert got == {
+        "pages_decoded": exp_pages,
+        "lines_emitted": exp_lines,
+        "decode_failures": exp_failures,
+    }
