@@ -39,3 +39,95 @@ def test_streaming_equals_batch(spark, sf_smoke, tmp_path_factory):
     got_all = _sorted_rows(spark.read.parquet(os.path.join(out_dir, "spans")))
     exp_all = _sorted_rows(extract(spark, docs, with_metrics=False).spans)
     assert got_all == exp_all  # no duplicates, nothing missing
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "engine_id string, state string, ts timestamp, message string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_state_counts_watermark(spark, tmp_path_factory):
+    """Watermarked tumbling windows emit exactly once, in append mode,
+    when the watermark passes their end; late-but-within-watermark
+    events are folded in before emission."""
+    from datetime import datetime
+
+    from pero_ocr_api_spark.streaming.windows import windowed_state_counts
+
+    base = tmp_path_factory.mktemp("winstream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    # batch 1: events in windows [10:00,10:10) and [10:10,10:20);
+    # max ts 10:19 -> watermark after batch1 = 10:14
+    _write_events(spark, in_dir, [
+        ("e1", "PROCESSED", t(1), "a"),
+        ("e1", "PROCESSED", t(5), "b"),
+        ("e2", "FAILED", t(9, 59), "c"),
+        ("e1", "PROCESSED", t(19), "d"),
+    ])
+    # batch 2: a late event for the first window (10:04 < watermark
+    # 10:14 would DROP it — use 10:09+ semantics: still late but the
+    # window [10:00,10:10) has end 10:10 <= 10:14 so it closes in
+    # batch 2) and fresh events advancing the watermark far ahead so
+    # both early windows emit before the stream ends.
+    _write_events(spark, in_dir, [
+        ("e2", "PROCESSED", t(15), "e"),
+        ("e1", "PROCESSED", t(55), "f"),
+    ])
+
+    windowed_state_counts(spark, in_dir, out_dir, ckpt,
+                          window="10 minutes", watermark="5 minutes")
+
+    got = {
+        (r.win_start.minute, r.win_end.minute, r.state): r.n
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # watermark at the close of processing = 10:55 - 5min = 10:50, so
+    # windows ending 10:10 and 10:20 have emitted; [10:50,11:00) has not.
+    assert got[(0, 10, "PROCESSED")] == 2
+    assert got[(0, 10, "FAILED")] == 1
+    assert got[(10, 20, "PROCESSED")] == 2
+    assert (50, 0, "PROCESSED") not in got  # open window unemitted
+
+
+def test_rate_limited_notifications_state_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState keeps last-notification per engine in the
+    state store: an event early in batch 2 is suppressed by the
+    notification sent in batch 1 (reference MAX_EMAIL_FREQUENCY
+    throttle, routes.py:332-334)."""
+    from datetime import datetime
+
+    from pero_ocr_api_spark.streaming.windows import rate_limited_notifications
+
+    base = tmp_path_factory.mktemp("notify")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 12, m, s)
+    # batch 1: e1 notifies at 12:00 (first), 12:02 suppressed (<5 min),
+    # e2 notifies at 12:01
+    _write_events(spark, in_dir, [
+        ("e1", "FAILED", t(0), "n1"),
+        ("e1", "FAILED", t(2), "n2"),
+        ("e2", "FAILED", t(1), "n3"),
+    ])
+    rate_limited_notifications(spark, in_dir, out_dir, ckpt, min_interval_s=300)
+
+    # batch 2 (separate trigger run, state restored from checkpoint):
+    # e1 at 12:04 still suppressed by the 12:00 notification;
+    # e1 at 12:06 clears the 5-minute interval; e2 at 12:07 clears too
+    _write_events(spark, in_dir, [
+        ("e1", "FAILED", t(4), "n4"),
+        ("e1", "FAILED", t(6, 1), "n5"),
+        ("e2", "FAILED", t(7), "n6"),
+    ])
+    rate_limited_notifications(spark, in_dir, out_dir, ckpt, min_interval_s=300)
+
+    got = sorted(
+        (r.engine_id, r.message)
+        for r in spark.read.parquet(os.path.join(out_dir, "notifications")).collect()
+    )
+    assert got == [("e1", "n1"), ("e1", "n5"), ("e2", "n3"), ("e2", "n6")]
