@@ -57,6 +57,11 @@ def materialize_input(spark, sf_dir: str, cache_dir: str) -> str:
 def bench_extraction(spark, input_path: str) -> tuple[float, dict]:
     docs = spark.read.parquet(input_path)
     cores = spark.sparkContext.defaultParallelism
+    # warmup with zero emulated model cost: JIT + python-worker spawn +
+    # file listing happen once, outside the measurement (same plan shape)
+    warm_cfg = {**BENCH_ENGINE_CONFIG, "work_sleep_ms": 0.0, "work_iters": 0}
+    extract(spark, docs, engine_config=warm_cfg, with_metrics=False,
+            salt_partitions=4 * cores).spans.count()
     t0 = time.monotonic()
     res = extract(
         spark, docs,

@@ -578,3 +578,88 @@ def q_n3_array_filter(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("sum_high"),
     )
+
+
+# ---- TPC-H Q3 shape: join + filtered agg + top-k ordering (the
+# "most valuable pending work" query — reference analog: pick the
+# oldest WAITING pages for the busiest requests, general.py:87-96). ----
+@_reg(
+    "cp_tpch_q3_topk_join",
+    """SELECT l_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate AS orderdate,
+              o_orderpriority AS priority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, orderdate, l_orderkey
+       LIMIT 10""",
+)
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cut = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue",
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---- TPC-H Q5 shape: 5-way join + group-by volume (engine×region
+# throughput rollup analog).  Dims broadcast; fact joins shuffle once. ----
+@_reg(
+    "cp_tpch_q5_region_volume",
+    """SELECT n_name AS nation,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+                   JOIN supplier ON s_nationkey = n_nationkey
+                   JOIN lineitem ON l_suppkey = s_suppkey
+                   JOIN orders ON o_orderkey = l_orderkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name""",
+)
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    dims = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

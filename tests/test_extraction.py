@@ -172,3 +172,69 @@ def test_accumulator_metrics_exact(spark, sf_smoke):
         "lines_emitted": exp_lines,
         "decode_failures": exp_failures,
     }
+
+
+def test_heavy_doc_salting_bounds_skew(spark):
+    """north_rule: heavy multi-page documents are salted/repartitioned
+    to bound skew.  One 2000-media-span doc among 50 small docs must
+    (a) spread near-uniformly over the salted partitions — no partition
+    holds more than 2x the mean — and (b) still reconstruct the exact
+    reading order."""
+    from pero_ocr_api_spark.operators.inference import stub_infer_one
+    from pero_ocr_api_spark.constants import MIN_CONFIDENCE
+
+    heavy_spans = [
+        {"kind": "media", "text": None,
+         "media_ref": f"img://heavy/p{i}", "offset": i}
+        for i in range(2000)
+    ]
+    rows = [("doc-heavy", heavy_spans)] + [
+        (f"doc-small-{j}",
+         [{"kind": "text", "text": f"tiny {j}", "media_ref": None, "offset": 0}])
+        for j in range(50)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+    # (a) partition balance of the salted media branch
+    n_parts = 16
+    from pero_ocr_api_spark.plans.pipeline import explode_spans
+    media = (
+        explode_spans(docs)
+        .filter(F.col("kind") == KIND_MEDIA)
+        .repartition(n_parts, F.xxhash64("doc_id", "offset"))
+    )
+    sizes = [
+        r.n
+        for r in media.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == n_parts  # every partition got work
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) < 2 * mean, f"skewed: {sizes}"
+
+    # (b) output equality for the heavy doc vs direct stub evaluation
+    res = extract(spark, docs, salt_partitions=n_parts, with_metrics=False)
+    got = [
+        (r.order, r.text, r.media_ref)
+        for r in res.spans.filter(F.col("doc_id") == "doc-heavy")
+        .orderBy("order")
+        .collect()
+    ]
+    exp = []
+    for off in range(2000):
+        ref = f"img://heavy/p{off}"
+        err, lines = stub_infer_one(ref)
+        if err is not None:
+            continue
+        for (idx, stored, conf) in lines:
+            if not (conf and conf > MIN_CONFIDENCE):
+                continue
+            logical = stored[::-1] if any("؀" <= c <= "ۿ" for c in stored) else stored
+            exp.append((logical, ref))
+    exp = [(i, text, ref) for i, (text, ref) in enumerate(exp)]
+    assert got == exp
