@@ -3,6 +3,11 @@ path; whole-stage codegen applies end-to-end).
 
 - ``normalize_text_spans``: the text-branch boilerplate strip (SURVEY
   §2.9 X10): collapse whitespace runs, trim, drop empty spans.
+  Whitespace is **ASCII** ``\s`` (Java regex default, = DuckDB RE2):
+  unicode whitespace like NBSP (\xa0) is content, not whitespace —
+  a deliberate semantic choice so all three engines (Spark JVM,
+  DuckDB oracle, Python oracle with re.ASCII) agree; found by the
+  hypothesis property test.
 - ``normalize_transcriptions``: the Arabic visual→logical fix (SURVEY
   §2.7 F10; reference: arabic_helper at
   /root/reference/processing_client/run_client.py:218-220).  Arabic

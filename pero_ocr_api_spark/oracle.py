@@ -32,7 +32,10 @@ from .constants import (
 )
 from .operators.inference import stub_infer_one
 
-_WS = re.compile(r"\s+")
+# ASCII \s (re.ASCII), matching Java/Spark regexp_replace and DuckDB
+# RE2: unicode whitespace (e.g. NBSP \xa0) is NOT normalized by the
+# engine and must not be normalized here (found by hypothesis).
+_WS = re.compile(r"\s+", re.ASCII)
 _ARABIC = re.compile("[؀-ۿ]")
 
 
@@ -88,7 +91,7 @@ def extract_doc(doc_num: int, text: str) -> OracleDoc:
     confs = []
     for (offset, kind, t, ref) in spans:
         if kind == KIND_TEXT:
-            norm = _WS.sub(" ", t).strip()
+            norm = _WS.sub(" ", t).strip(" ")
             if norm == "":
                 continue
             out_rows.append((offset, 0, KIND_TEXT, norm, None))

@@ -25,7 +25,7 @@ from pero_ocr_api_spark.constants import (
 from pero_ocr_api_spark.operators.inference import stub_infer_one
 from pero_ocr_api_spark.plans.pipeline import extract
 
-_WS = re.compile(r"\s+")
+_WS = re.compile(r"\s+", re.ASCII)  # Java/RE2 semantics, see oracle.py
 _ARABIC = re.compile("[؀-ۿ]")
 
 DOC_SCHEMA = (
@@ -85,7 +85,7 @@ def _oracle(rows):
         first_error = None
         for s in sorted(spans, key=lambda s: s["offset"]):
             if s["kind"] == KIND_TEXT:
-                norm = _WS.sub(" ", s["text"] or "").strip()
+                norm = _WS.sub(" ", s["text"] or "").strip(" ")
                 if norm:
                     lines.append((s["offset"], 0, KIND_TEXT, norm, None))
             else:
