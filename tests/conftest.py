@@ -12,12 +12,16 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
     s = get_spark(
         app_name="pytest",
         parallelism=8,
         shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.warehouse.dir": str(wh),
+        },
     )
     yield s
     s.stop()

@@ -1,0 +1,44 @@
+"""Bucketed-layout co-location: doc-level joins over identically
+bucketed tables must plan with zero Exchange (no shuffle) and return
+the same rows as the unbucketed join."""
+
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.plans.bucketing import (
+    colocated_join,
+    plan_has_no_exchange,
+    write_bucketed,
+)
+from pero_ocr_api_spark.plans.pipeline import extract
+from pero_ocr_api_spark.synth import interleaved_documents
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
+    docs = interleaved_documents(spark, sf_smoke)
+    res = extract(spark, docs, with_metrics=False)
+
+    write_bucketed(docs.select("doc_id"), "docs_b", n_buckets=8)
+    write_bucketed(res.docs, "results_b", n_buckets=8)
+
+    joined = colocated_join(spark, "docs_b", "results_b")
+    assert plan_has_no_exchange(joined), joined._jdf.queryExecution().executedPlan().toString()
+
+    # same answer as the plain join
+    exp = docs.select("doc_id").join(res.docs, "doc_id").count()
+    assert joined.count() == exp
+
+    # the resume anti-join is shuffle-free on the same layout
+    remaining = spark.table("docs_b").join(
+        spark.table("results_b").hint("merge"), "doc_id", "left_anti"
+    )
+    assert plan_has_no_exchange(remaining)
+    assert remaining.count() == 0  # everything processed
+
+    # mismatched bucket count DOES shuffle — the guard that co-location
+    # is real, not vacuous
+    write_bucketed(res.docs, "results_b4", n_buckets=4)
+    mixed = colocated_join(spark, "docs_b", "results_b4")
+    assert not plan_has_no_exchange(mixed)
+
+    for t in ("docs_b", "results_b", "results_b4"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
