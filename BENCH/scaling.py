@@ -113,9 +113,9 @@ def main() -> None:
     md = f"""# BENCH BASELINE — extraction throughput & scaling
 
 Input: the sf0.1 interleaved table replicated ×{REPLICAS} (distinct
-doc_ids per replica; ~{hi['n_docs']} docs, ~107k media spans),
-materialized once and read by BOTH parallelism levels — the sandbox
-stand-in for N vs 4N executors per BASELINE.json north_rule.
+doc_ids per replica; {hi['n_docs']} docs, {hi['n_spans']} output
+spans), materialized once and read by BOTH parallelism levels — the
+sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 
 | parallelism | wall (s) | docs | spans | docs/sec | spans/sec |
 |---|---|---|---|---|---|
@@ -137,8 +137,8 @@ busy (partitioning, salting, Arrow batching, no driver serialization).
 Input sizing: fixed per-job costs (driver planning, stage barriers,
 python-worker spawn) are ~5 s at local[32] regardless of data size —
 at production scale (10^9 rows, north_rule) they are noise, so the
-scaling input is sized (~107k media spans) to make them <10% of wall,
-measuring steady-state pipeline scalability rather than job startup.
+scaling input is sized (×{REPLICAS} sf0.1) to keep them under 10% of
+wall, measuring steady-state pipeline scalability, not job startup.
 
 A pure-CPU burn is NOT a valid scaling probe on this sandbox VM:
 raw 32-process md5 hashing (no Spark at all) reaches only ~0.62-0.75

@@ -1,13 +1,14 @@
-"""Normalization stages — all JVM-side built-ins (no Python in the hot
+r"""Normalization stages — all JVM-side built-ins (no Python in the hot
 path; whole-stage codegen applies end-to-end).
 
 - ``normalize_text_spans``: the text-branch boilerplate strip (SURVEY
   §2.9 X10): collapse whitespace runs, trim, drop empty spans.
-  Whitespace is **ASCII** ``\s`` (Java regex default, = DuckDB RE2):
-  unicode whitespace like NBSP (\xa0) is content, not whitespace —
-  a deliberate semantic choice so all three engines (Spark JVM,
-  DuckDB oracle, Python oracle with re.ASCII) agree; found by the
-  hypothesis property test.
+  Whitespace is the EXPLICIT class ``[ \t\n\r\f\x0b]`` in all three
+  engines: Java's ASCII ``\s``, Python's ``re.ASCII \s`` and RE2's
+  ``\s`` disagree on \x0B (RE2 excludes it), and all of them exclude
+  unicode whitespace like NBSP — so the engine pins the exact char
+  set rather than trusting any ``\s``.  NBSP is content.  (Both
+  divergences were found by the hypothesis property test + review.)
 - ``normalize_transcriptions``: the Arabic visual→logical fix (SURVEY
   §2.7 F10; reference: arabic_helper at
   /root/reference/processing_client/run_client.py:218-220).  Arabic
@@ -33,7 +34,7 @@ ARABIC_CHARCLASS = "[؀-ۿ]"
 
 
 def normalized_text(col: Column) -> Column:
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, "[ \t\n\r\f\x0b]+", " "))
 
 
 def normalize_text_spans(df: DataFrame, text_col: str = "text") -> DataFrame:

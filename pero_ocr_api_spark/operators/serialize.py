@@ -56,9 +56,15 @@ def serialize_alto(
     collect_list → array_sort on (offset, line_idx) → transform →
     array_join; no UDF, no extra shuffle beyond the per-doc groupBy.
     """
-    kept = raw_spans.filter(
-        (F.col("kind") != "media") | (F.col("conf") > F.lit(threshold))
-    )
+    if threshold > 0:
+        kept = raw_spans.filter(
+            (F.col("kind") != "media") | (F.col("conf") > F.lit(threshold))
+        )
+    else:
+        # threshold <= 0 disables filtering entirely (even conf == 0.0
+        # lines serialize), matching filter_confident_lines and the
+        # reference's `if args.min_confidence > 0` gate
+        kept = raw_spans
     lines = F.array_sort(
         F.collect_list(F.struct("offset", "line_idx", "kind", "text", "conf"))
     )

@@ -32,10 +32,10 @@ from .constants import (
 )
 from .operators.inference import stub_infer_one
 
-# ASCII \s (re.ASCII), matching Java/Spark regexp_replace and DuckDB
-# RE2: unicode whitespace (e.g. NBSP \xa0) is NOT normalized by the
-# engine and must not be normalized here (found by hypothesis).
-_WS = re.compile(r"\s+", re.ASCII)
+# Explicit whitespace class shared by all three engines (see
+# operators/normalize.py): \s differs between Python/Java and RE2 on
+# \x0B, and unicode whitespace (NBSP) is content.
+_WS = re.compile(r"[ \t\n\r\f\x0b]+")
 _ARABIC = re.compile("[؀-ۿ]")
 
 
@@ -83,15 +83,24 @@ def _median(vals: list[float]) -> float:
     return (s[mid - 1] + s[mid]) / 2.0
 
 
-def extract_doc(doc_num: int, text: str) -> OracleDoc:
-    doc_id = f"doc-{doc_num:06d}"
-    spans = synth_spans(doc_num, text)
+def extract_spans(
+    spans: list[tuple[int, str, str, str]],
+) -> tuple[list, float, str]:
+    """The single source of truth for the per-span worker semantics
+    (run_client.py:139-234 order of operations) over arbitrary spans
+    [(offset, kind, text, media_ref)].  Returns (ordered_spans, score,
+    status) with ordered_spans = [(order, kind, text, media_ref)].
+    Used by extract_doc and directly by the property / skew tests so
+    the semantics live in exactly one place."""
     out_rows = []   # (offset, line_idx, kind, text, media_ref, conf)
     first_error = None
     confs = []
-    for (offset, kind, t, ref) in spans:
+    # document order, not list order: first_error is the error of the
+    # LOWEST-OFFSET failed span (Spark: min_by(error, offset)),
+    # regardless of how the input list happens to be arranged
+    for (offset, kind, t, ref) in sorted(spans, key=lambda s: s[0]):
         if kind == KIND_TEXT:
-            norm = _WS.sub(" ", t).strip(" ")
+            norm = _WS.sub(" ", t or "").strip(" ")
             if norm == "":
                 continue
             out_rows.append((offset, 0, KIND_TEXT, norm, None))
@@ -115,12 +124,13 @@ def extract_doc(doc_num: int, text: str) -> OracleDoc:
         for order, (_, _, kind, t, ref) in enumerate(out_rows)
     ]
     score = round(_median(confs) * SCORE_SCALE, SCORE_DP) if confs else DEFAULT_SCORE
-    return OracleDoc(
-        doc_id=doc_id,
-        spans=ordered,
-        score=score,
-        status=first_error or STATE_PROCESSED,
-    )
+    return ordered, score, first_error or STATE_PROCESSED
+
+
+def extract_doc(doc_num: int, text: str) -> OracleDoc:
+    doc_id = f"doc-{doc_num:06d}"
+    ordered, score, status = extract_spans(synth_spans(doc_num, text))
+    return OracleDoc(doc_id=doc_id, spans=ordered, score=score, status=status)
 
 
 def extract_all(flat_rows: list[tuple[int, str]]) -> dict[str, OracleDoc]:

@@ -86,7 +86,7 @@ kept AS (
 ),
 text_kept AS (
   SELECT doc_id, "offset",
-         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+         trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')) AS text
   FROM spans WHERE kind = 'text'
 ),
 merged AS (

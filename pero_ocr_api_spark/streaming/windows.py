@@ -80,9 +80,14 @@ def _notify_fn(min_interval_s: float):
         (engine_id,) = key
         last = state.get[0] if state.exists else None
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, message in zip(pdf["ts"], pdf["message"]):
+        # Arrow delivers the group's rows as an iterator of chunks in
+        # arbitrary order — a per-chunk sort would process events out of
+        # time order across chunk boundaries, so materialize the group
+        # and sort globally before applying the throttle.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = pd.concat(chunks).sort_values("ts")
+            for ts, message in zip(full["ts"], full["message"]):
                 t = ts.timestamp()
                 if last is None or (t - last) > min_interval_s:
                     rows.append((engine_id, ts, message))
@@ -122,8 +127,13 @@ def rate_limited_notifications(
     out_path = os.path.join(output_dir, "notifications")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            batch_df.write.mode("append").parquet(out_path)
+        # batch-scoped overwrite (not blind append): a retried batch
+        # rewrites its own directory instead of duplicating rows, and
+        # the plan executes exactly once (no isEmpty pre-probe, which
+        # would run the stateful stage twice)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     query = (
         notifications.writeStream.foreachBatch(sink)

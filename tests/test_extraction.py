@@ -180,8 +180,6 @@ def test_heavy_doc_salting_bounds_skew(spark):
     (a) spread near-uniformly over the salted partitions — no partition
     holds more than 2x the mean — and (b) still reconstruct the exact
     reading order."""
-    from pero_ocr_api_spark.operators.inference import stub_infer_one
-    from pero_ocr_api_spark.constants import MIN_CONFIDENCE
 
     heavy_spans = [
         {"kind": "media", "text": None,
@@ -225,16 +223,8 @@ def test_heavy_doc_salting_bounds_skew(spark):
         .orderBy("order")
         .collect()
     ]
-    exp = []
-    for off in range(2000):
-        ref = f"img://heavy/p{off}"
-        err, lines = stub_infer_one(ref)
-        if err is not None:
-            continue
-        for (idx, stored, conf) in lines:
-            if not (conf and conf > MIN_CONFIDENCE):
-                continue
-            logical = stored[::-1] if any("؀" <= c <= "ۿ" for c in stored) else stored
-            exp.append((logical, ref))
-    exp = [(i, text, ref) for i, (text, ref) in enumerate(exp)]
+    from pero_ocr_api_spark.oracle import extract_spans
+    flat = [(i, KIND_MEDIA, None, f"img://heavy/p{i}") for i in range(2000)]
+    ordered, _score, _status = extract_spans(flat)
+    exp = [(order, text, ref) for (order, _kind, text, ref) in ordered]
     assert got == exp

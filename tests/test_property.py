@@ -6,27 +6,13 @@ built from the same stub/constants.  Offsets are unique per doc (the
 input_hint's document-order position; ordering is undefined otherwise).
 """
 
-import re
-
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from pero_ocr_api_spark.constants import (
-    DEFAULT_SCORE,
-    KIND_MEDIA,
-    KIND_TEXT,
-    MIN_CONFIDENCE,
-    SCORE_DP,
-    SCORE_SCALE,
-    STATE_PROCESSED,
-)
-from pero_ocr_api_spark.operators.inference import stub_infer_one
+from pero_ocr_api_spark.constants import KIND_MEDIA, KIND_TEXT
 from pero_ocr_api_spark.plans.pipeline import extract
-
-_WS = re.compile(r"\s+", re.ASCII)  # Java/RE2 semantics, see oracle.py
-_ARABIC = re.compile("[؀-ۿ]")
 
 DOC_SCHEMA = (
     "doc_id string, spans array<struct<kind:string,text:string,"
@@ -76,45 +62,16 @@ def documents(draw):
 
 
 def _oracle(rows):
-    """Direct per-span reimplementation of the worker semantics over
-    arbitrary spans (run_client.py:139-234 order of operations)."""
+    """Direct oracle over arbitrary spans — delegates to
+    oracle.extract_spans, the single source of per-span semantics."""
+    from pero_ocr_api_spark.oracle import extract_spans
+
     out = {}
     for doc_id, spans in rows:
-        lines = []   # (offset, line_idx, kind, text, ref)
-        confs = []
-        first_error = None
-        for s in sorted(spans, key=lambda s: s["offset"]):
-            if s["kind"] == KIND_TEXT:
-                norm = _WS.sub(" ", s["text"] or "").strip(" ")
-                if norm:
-                    lines.append((s["offset"], 0, KIND_TEXT, norm, None))
-            else:
-                err, inferred = stub_infer_one(s["media_ref"])
-                if err is not None:
-                    if first_error is None:
-                        first_error = err
-                    continue
-                for idx, stored, conf in inferred:
-                    if MIN_CONFIDENCE > 0 and not (conf and conf > MIN_CONFIDENCE):
-                        continue
-                    logical = stored[::-1] if _ARABIC.search(stored) else stored
-                    lines.append(
-                        (s["offset"], idx, KIND_MEDIA, logical, s["media_ref"])
-                    )
-                    confs.append(conf)
-        lines.sort(key=lambda r: (r[0], r[1]))
-        spans_out = [
-            (i, kind, text, ref)
-            for i, (_, _, kind, text, ref) in enumerate(lines)
-        ]
-        if confs:
-            srt = sorted(confs)
-            n = len(srt)
-            med = srt[n // 2] if n % 2 else (srt[n // 2 - 1] + srt[n // 2]) / 2.0
-            score = round(med * SCORE_SCALE, SCORE_DP)
-        else:
-            score = DEFAULT_SCORE
-        out[doc_id] = (spans_out, score, first_error or STATE_PROCESSED)
+        flat = [(s["offset"], s["kind"], s["text"], s["media_ref"])
+                for s in spans]
+        spans_out, score, status = extract_spans(flat)
+        out[doc_id] = (spans_out, score, status)
     return out
 
 

@@ -68,11 +68,11 @@ def test_windowed_state_counts_watermark(spark, tmp_path_factory):
         ("e2", "FAILED", t(9, 59), "c"),
         ("e1", "PROCESSED", t(19), "d"),
     ])
-    # batch 2: a late event for the first window (10:04 < watermark
-    # 10:14 would DROP it — use 10:09+ semantics: still late but the
-    # window [10:00,10:10) has end 10:10 <= 10:14 so it closes in
-    # batch 2) and fresh events advancing the watermark far ahead so
-    # both early windows emit before the stream ends.
+    # batch 2: t(15) arrives after batch 1 set the watermark to 10:14 —
+    # late relative to already-seen 10:19 but >= the watermark, so it
+    # folds into the still-open [10:10,10:20) window before emission;
+    # t(55) then advances the watermark far enough to close both early
+    # windows before the stream ends.
     _write_events(spark, in_dir, [
         ("e2", "PROCESSED", t(15), "e"),
         ("e1", "PROCESSED", t(55), "f"),
