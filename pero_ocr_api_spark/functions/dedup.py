@@ -17,14 +17,9 @@ from pyspark.sql import functions as F
 from ..constants import LSH_BANDS, MINHASH_PERMS, SHINGLE_K
 from ..session import load_table
 
-REGISTRY: dict[str, tuple] = {}
+from ..registry import make_registry
 
-
-def _reg(name: str, sql: str):
-    def deco(fn):
-        REGISTRY[name] = (fn, sql)
-        return fn
-    return deco
+REGISTRY, _reg = make_registry()
 
 
 # ---------------------------------------------------------------- exact
@@ -233,7 +228,9 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= 10))
         .select("sh")
     )
-    sh_rare = sh.join(F.broadcast(rare), "sh")
+    # equi-join, NOT broadcast: the df-bounded shingle set is corpus-sized
+    # at scale, so broadcasting it would OOM the driver at 100 TB
+    sh_rare = sh.join(rare, "sh")
     a = sh_rare.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh_rare.select(F.col("doc_id").alias("doc_b"), "sh")
     cand = (

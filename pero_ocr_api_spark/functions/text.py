@@ -14,18 +14,15 @@ from pyspark.sql import functions as F
 from ..constants import STOPWORDS
 from ..session import load_table
 
-REGISTRY: dict[str, tuple] = {}
+from ..registry import make_registry
 
-
-def _reg(name: str, sql: str):
-    def deco(fn):
-        REGISTRY[name] = (fn, sql)
-        return fn
-    return deco
+REGISTRY, _reg = make_registry()
 
 
 _WORD_RE = r"[A-Za-z0-9]+"
-_PUNCT_RE = r"[^A-Za-z0-9\s]"
+# explicit whitespace class — never \s (RE2 vs Java \x0B divergence,
+# see operators/normalize.py)
+_PUNCT_RE = r"[^A-Za-z0-9 \t\n\r\f\x0b]"
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
@@ -129,12 +126,14 @@ def q_langid(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "td_text_fingerprint",
     """SELECT doc_id,
-              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              md5(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')))) AS fp
        FROM documents""",
 )
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", "[ \t\n\r\f\x0b]+", " ")))
+        ).alias("fp"),
     )

@@ -134,10 +134,13 @@ def extract_doc(doc_num: int, text: str) -> OracleDoc:
 
 
 def extract_all(flat_rows: list[tuple[int, str]]) -> dict[str, OracleDoc]:
-    """flat_rows: [(doc_id:int, text)] from documents.parquet."""
+    """flat_rows: [(doc_id:int, text)] from documents.parquet.  Docs
+    whose text yields no synthesized spans (zero tokens) are excluded —
+    the engine's synthesis filters them too (synth.py T >= 1), so the
+    Spark docs output has no row for them."""
     out = {}
     for doc_num, text in flat_rows:
-        doc = extract_doc(doc_num, text)
-        if doc.spans or doc.status != STATE_PROCESSED or True:
-            out[doc.doc_id] = doc
+        if not synth_spans(doc_num, text):
+            continue
+        out[f"doc-{doc_num:06d}"] = extract_doc(doc_num, text)
     return out

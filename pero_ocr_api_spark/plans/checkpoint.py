@@ -74,6 +74,22 @@ class CheckpointedExtractor:
             "group_id", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_groups)).cast("int")
         )
 
+    def _stage_input(self, spark: SparkSession, documents: DataFrame) -> DataFrame:
+        """Write the grouped input ONCE, partitioned by group_id, so each
+        group iteration reads only its own partition (partition pruning)
+        instead of rescanning + rehashing the whole source per group
+        (n_groups × full-scan → 1 write + n_groups pruned reads).  Also
+        freezes the input snapshot: a resume after crash processes the
+        same rows even if the source moved.  On a real Iceberg table
+        bucketed by doc_id this staging step disappears — the layout
+        already is the grouping."""
+        staged = os.path.join(self.output_dir, "_staged")
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            self._grouped(documents).write.mode("overwrite").partitionBy(
+                "group_id"
+            ).parquet(staged)
+        return spark.read.parquet(staged)
+
     def run(
         self,
         spark: SparkSession,
@@ -85,7 +101,7 @@ class CheckpointedExtractor:
         ``fail_after`` is set, raises SimulatedFailure after that many
         fresh commits (kill/resume testing)."""
         run_id = run_id or uuid.uuid4().hex[:12]
-        grouped = self._grouped(documents)
+        grouped = self._stage_input(spark, documents)
         done = self.committed_groups()
         fresh = 0
         for g in range(self.n_groups):

@@ -34,7 +34,11 @@ ALLOWED_IMAGE_EXTENSIONS = ["jpg", "jpeg", "png", "tif", "tiff"]  # config-examp
 
 
 def parse_requests(raw: DataFrame, json_col: str = "payload") -> DataFrame:
-    """(request_id, payload json-string) → (request_id, engine_id, images)."""
+    """(request_id, payload json-string) → (request_id, engine_id,
+    images, valid).  Malformed JSON or a payload without an images map
+    yields valid=false — the reference rejects such submissions with an
+    explicit error (routes.py:37-57), so they must stay visible as
+    rows, not vanish in a null-map explode."""
     parsed = raw.select(
         "request_id", F.from_json(F.col(json_col), REQUEST_SCHEMA).alias("r")
     )
@@ -42,7 +46,14 @@ def parse_requests(raw: DataFrame, json_col: str = "payload") -> DataFrame:
         "request_id",
         F.col("r.engine").alias("engine_id"),
         F.col("r.images").alias("images"),
+        F.col("r.images").isNotNull().alias("valid"),
     )
+
+
+def invalid_requests(requests: DataFrame) -> DataFrame:
+    """Submissions the reference would have rejected at the API
+    boundary (invalid JSON / missing images map)."""
+    return requests.filter(~F.col("valid")).select("request_id")
 
 
 def explode_pages(requests: DataFrame) -> DataFrame:
@@ -70,17 +81,28 @@ def explode_pages(requests: DataFrame) -> DataFrame:
 
 def complete_uploads(pages: DataFrame, uploads: DataFrame) -> DataFrame:
     """Apply (request_id, name, new_url) uploads: rewrite url, flip
-    CREATED→WAITING (routes.py:88-95)."""
+    CREATED→WAITING — but an upload with a disallowed extension goes to
+    INVALID_FILE instead, exactly like the submit path (the reference
+    checks ALLOWED_EXTENSIONS on the uploaded filename, routes.py:89-90).
+    The ext column is recomputed from the post-upload url."""
     up = uploads.select(
         "request_id", "name", F.col("new_url").alias("_new_url")
     )
     joined = pages.join(up, ["request_id", "name"], "left")
-    became_ready = F.col("_new_url").isNotNull() & (F.col("state") == STATE_CREATED)
+    new_url = F.coalesce("_new_url", "url")
+    new_ext = F.lower(F.regexp_extract(F.coalesce(new_url, F.col("name")), r"\.([^.]+)$", 1))
+    applied = F.col("_new_url").isNotNull() & (F.col("state") == STATE_CREATED)
     return joined.select(
         "page_id", "request_id", "engine_id", "name",
-        F.coalesce("_new_url", "url").alias("url"),
-        "ext",
-        F.when(became_ready, F.lit(STATE_WAITING)).otherwise(F.col("state")).alias("state"),
+        new_url.alias("url"),
+        new_ext.alias("ext"),
+        F.when(
+            applied & ~new_ext.isin(ALLOWED_IMAGE_EXTENSIONS),
+            F.lit("INVALID_FILE"),
+        )
+        .when(applied, F.lit(STATE_WAITING))
+        .otherwise(F.col("state"))
+        .alias("state"),
     )
 
 

@@ -20,14 +20,9 @@ from pyspark.sql import functions as F
 from ..constants import PINNED_NOW
 from ..session import load_table
 
-REGISTRY: dict[str, tuple] = {}
+from ..registry import make_registry
 
-
-def _reg(name: str, sql: str):
-    def deco(fn):
-        REGISTRY[name] = (fn, sql)
-        return fn
-    return deco
+REGISTRY, _reg = make_registry()
 
 
 # ---- P2: IN-list filter + grouped count (general.py:46,56) ----

@@ -21,7 +21,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, IntegerType, StringType, StructField, StructType,
 )
@@ -65,8 +64,6 @@ def incremental_extract(
     docs_out = os.path.join(output_dir, "docs")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         res = extract(
             batch_df.sparkSession,
             batch_df,
@@ -74,12 +71,16 @@ def incremental_extract(
             with_metrics=False,
             persist_inference=True,
         )
-        res.spans.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(spans_out)
-        res.docs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(docs_out)
+        # batch-scoped overwrite: a retried micro-batch (crash between
+        # the parquet write and the checkpoint commit) rewrites its own
+        # batch_id directory instead of appending duplicates; batch_id
+        # surfaces as a partition column on read
+        res.spans.write.mode("overwrite").parquet(
+            os.path.join(spans_out, f"batch_id={batch_id}")
+        )
+        res.docs.write.mode("overwrite").parquet(
+            os.path.join(docs_out, f"batch_id={batch_id}")
+        )
         res.unpersist()
 
     query = (

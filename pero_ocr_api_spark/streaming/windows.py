@@ -86,7 +86,7 @@ def _notify_fn(min_interval_s: float):
         # and sort globally before applying the throttle.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            full = pd.concat(chunks).sort_values("ts")
+            full = pd.concat(chunks).sort_values(["ts", "message"])
             for ts, message in zip(full["ts"], full["message"]):
                 t = ts.timestamp()
                 if last is None or (t - last) > min_interval_s:
