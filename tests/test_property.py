@@ -76,7 +76,7 @@ def _oracle(rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=int(__import__("os").environ.get("PROPERTY_MAX_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
