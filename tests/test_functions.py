@@ -75,3 +75,39 @@ def test_multimodal_plumbing(spark, sf_smoke):
     # determinism: same refs → same decode output
     again = decode_images(synth_media_bytes(refs)).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_smoke):
+    """Approximation-quality documentation: recall@k of the IVF and
+    LSH-bucket ANN paths against the verified brute-force baseline.
+    IVF probes nprobe centroids and recovers nearly all true neighbors
+    (recall ~0.96 on sf0.001).  Single-bucket LSH over isotropic
+    gaussians has ~2% expected recall by geometry (8 hyperplanes,
+    top-neighbor angle ~66deg -> 0.63^8) — it exists for the HIGH-cosine
+    near-dup regime where collisions are likely, so only its structure
+    is asserted, not a recall floor."""
+    from pero_ocr_api_spark.functions.similarity import (
+        REGISTRY as SIM, TOP_K,
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.q_id, set()).add(r.n_id)
+        return out
+
+    truth = topk_sets(SIM["td_sim_bruteforce_topk"][0](spark, sf_smoke))
+    ivf = topk_sets(SIM["td_sim_ivf_topk"][0](spark, sf_smoke))
+    lsh = topk_sets(SIM["td_sim_ann_lsh_topk"][0](spark, sf_smoke))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        return hits / total
+
+    r_ivf, r_lsh = recall(ivf), recall(lsh)
+    print(f"recall@{TOP_K}: ivf={r_ivf:.2f} lsh={r_lsh:.2f}")
+    assert r_ivf >= 0.5, r_ivf
+    # every ANN neighbor must at least be a real vector, never the query
+    for q, ns in {**ivf, **lsh}.items():
+        assert q not in ns
