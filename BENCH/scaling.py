@@ -41,11 +41,13 @@ spark = get_spark(app_name=f"scale-{cores}", parallelism=cores,
                   shuffle_partitions=2 * cores,
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 
-# --- materialize the replicated input once (shared by both levels) ---
+# --- materialize the replicated input once (shared by both levels);
+# name derives from the base cache (which embeds the synth-source
+# hash), so a synthesis change invalidates this cache too ---
 base_path = materialize_input(spark, sf_dir, "/tmp/spark_graft_bench")
-tag = os.path.basename(sf_dir.rstrip("/"))
+base_name = os.path.basename(base_path.rstrip("/")).removesuffix(".parquet")
 big_path = os.path.join("/tmp/spark_graft_bench",
-                        f"interleaved_{tag}_x{replicas}.parquet")
+                        f"{base_name}_x{replicas}.parquet")
 if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
     base = spark.read.parquet(base_path)
     parts = [base.select(F.concat(F.lit(f"r{i}-"), "doc_id").alias("doc_id"),

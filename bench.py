@@ -43,9 +43,15 @@ BENCH_ENGINE_CONFIG = {
 def materialize_input(spark, sf_dir: str, cache_dir: str) -> str:
     """Write the synthesized interleaved table to parquet once per sf —
     the bench then measures scan→extract (the north_star shape), not
-    synthesis."""
+    synthesis.  The cache key includes a hash of the synthesis source
+    so a semantics change invalidates stale /tmp caches from earlier
+    rounds instead of silently benching old data."""
+    import hashlib
+    import pero_ocr_api_spark.synth as _synth
+    with open(_synth.__file__, "rb") as f:
+        synth_v = hashlib.md5(f.read()).hexdigest()[:8]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(cache_dir, f"interleaved_{tag}.parquet")
+    path = os.path.join(cache_dir, f"interleaved_{tag}_{synth_v}.parquet")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         interleaved_documents(spark, sf_dir).repartition(32).write.mode(
