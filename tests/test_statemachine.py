@@ -67,3 +67,85 @@ def test_request_completion(spark):
     assert got["r3"].done is True
     assert got["r3"].avg_quality == 81.0  # errors excluded from quality
     assert got["r2"].avg_quality == 93.5
+
+
+def test_lifecycle_invariants_random(spark):
+    """Property-style sweep over a randomized page table: the lifecycle
+    transforms must (a) be idempotent (applying a sweep twice equals
+    once), (b) claim at most max_claims previously-WAITING rows,
+    (c) only ever move states along legal edges."""
+    import random
+
+    from pero_ocr_api_spark.plans.statemachine import (
+        TERMINAL_STATES, claim_pages, expire_old, requeue_timed_out,
+    )
+
+    from datetime import datetime
+
+    rng = random.Random(7)
+    states = ["CREATED", "WAITING", "PROCESSING", "PROCESSED",
+              "NOT_FOUND", "INVALID_FILE", "PROCESSING_FAILED",
+              "EXPIRED", "CANCELED"]
+    now = "2024-06-01 12:00:00"
+    rows = []
+    for i in range(300):
+        st = rng.choice(states)
+        proc_ts = (
+            datetime(2024, 6, 1, 11, 50 + rng.randint(0, 9), rng.randint(0, 59))
+            if st == "PROCESSING" else None
+        )
+        fin_ts = (
+            datetime(2024, rng.randint(1, 6), rng.randint(1, 9), 1, 0, 0)
+            if st in ("PROCESSED", "NOT_FOUND") else None
+        )
+        rows.append(
+            (f"p{i:04d}", f"r{i % 37}", rng.randint(1, 3), st,
+             datetime(2024, 5, 31, rng.randint(0, 23), 0, 0),
+             proc_ts, fin_ts, float(rng.randint(0, 100)))
+        )
+    pages = spark.createDataFrame(
+        rows,
+        "page_id string, request_id string, engine_id int, state string, "
+        "creation_ts timestamp, processing_ts timestamp, "
+        "finish_ts timestamp, score double",
+    )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # (a) idempotence
+    once = requeue_timed_out(pages, now)
+    assert snap(requeue_timed_out(once, now)) == snap(once)
+    eonce = expire_old(pages, now)
+    assert snap(expire_old(eonce, now)) == snap(eonce)
+
+    # (b) claim bounds + provenance
+    before = {r.page_id: r.state for r in pages.collect()}
+    claimed = claim_pages(pages, engine_id=2, now=now, max_claims=7).collect()
+    assert len(claimed) <= 7
+    for r in claimed:
+        assert before[r.page_id] == "WAITING"
+        assert r.state == "PROCESSING" and r.processing_ts is not None
+    # preferred engine ranks first: if any engine-2 WAITING exists, the
+    # first claimed row must be engine 2
+    if any(s == "WAITING" for p, s in before.items()) and claimed:
+        waiting_engines = {
+            r.engine_id for r in pages.filter("state = 'WAITING'").collect()
+        }
+        if 2 in waiting_engines:
+            assert claimed[0].engine_id == 2
+
+    # (c) legal edges only, for both sweeps
+    legal = {("PROCESSING", "WAITING"), ("PROCESSED", "EXPIRED"),
+             ("NOT_FOUND", "EXPIRED"), ("INVALID_FILE", "EXPIRED"),
+             ("PROCESSING_FAILED", "EXPIRED")}
+    for df in (once, eonce):
+        after = {r.page_id: r.state for r in df.collect()}
+        for pid, st0 in before.items():
+            st1 = after[pid]
+            assert st0 == st1 or (st0, st1) in legal, (pid, st0, st1)
+    # terminal states never leave terminal-hood under any sweep
+    for df in (once, eonce):
+        for r in df.collect():
+            if before[r.page_id] in TERMINAL_STATES:
+                assert r.state in TERMINAL_STATES
