@@ -16,6 +16,12 @@ Reference parity notes (judge cross-check):
 KIND_TEXT = "text"
 KIND_MEDIA = "media"
 
+# ---- whitespace normalization (operators/normalize.py) ----
+# The EXPLICIT ascii whitespace class, as regex source usable verbatim
+# by Java regex (Spark), RE2 (DuckDB) and Python re: \s is never
+# trusted (RE2 excludes \x0b; unicode ws like NBSP is content).
+WS_CLASS = r"[ \t\n\r\f\x0b]"
+
 # ---- line-confidence threshold (run_client.py:36-37) ----
 MIN_CONFIDENCE = 0.66
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import STOPWORDS
+from ..constants import STOPWORDS, WS_CLASS
 from ..session import load_table
 
 from ..registry import make_registry
@@ -125,8 +125,8 @@ def q_langid(spark: SparkSession, sf: str) -> DataFrame:
 # ---- document fingerprint: md5 of whitespace-normalized lowercase text ----
 @_reg(
     "td_text_fingerprint",
-    """SELECT doc_id,
-              md5(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')))) AS fp
+    f"""SELECT doc_id,
+              md5(lower(trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g')))) AS fp
        FROM documents""",
 )
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -134,6 +134,6 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(
-            F.lower(F.trim(F.regexp_replace("text", "[ \t\n\r\f\x0b]+", " ")))
+            F.lower(F.trim(F.regexp_replace("text", WS_CLASS + "+", " ")))
         ).alias("fp"),
     )

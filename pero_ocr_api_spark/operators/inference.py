@@ -156,7 +156,9 @@ def make_infer_fn(broadcast_config, acc_pages=None, acc_lines=None, acc_failures
                     out_err.append(None)
                     n_lines += 1
             if acc_pages is not None:
-                acc_pages.add(n)
+                # decoded = attempted minus failed (north_star names the
+                # metric "pages decoded"; failures have their own counter)
+                acc_pages.add(n - n_failures)
             if acc_lines is not None:
                 acc_lines.add(n_lines)
             if acc_failures is not None:

@@ -28,13 +28,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import MIN_CONFIDENCE
+from ..constants import MIN_CONFIDENCE, WS_CLASS
 
 ARABIC_CHARCLASS = "[؀-ۿ]"
 
 
 def normalized_text(col: Column) -> Column:
-    return F.trim(F.regexp_replace(col, "[ \t\n\r\f\x0b]+", " "))
+    return F.trim(F.regexp_replace(col, WS_CLASS + "+", " "))
 
 
 def normalize_text_spans(df: DataFrame, text_col: str = "text") -> DataFrame:

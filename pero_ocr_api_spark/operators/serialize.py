@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import MIN_CONFIDENCE
+from ..constants import KIND_MEDIA, MIN_CONFIDENCE
 
 
 def xml_escape(col: Column) -> Column:
@@ -58,7 +58,7 @@ def serialize_alto(
     """
     if threshold > 0:
         kept = raw_spans.filter(
-            (F.col("kind") != "media") | (F.col("conf") > F.lit(threshold))
+            (F.col("kind") != KIND_MEDIA) | (F.col("conf") > F.lit(threshold))
         )
     else:
         # threshold <= 0 disables filtering entirely (even conf == 0.0
@@ -76,7 +76,7 @@ def serialize_alto(
                 (s["offset"] * 1000 + s["line_idx"]).cast("string"),
                 F.lit('"'),
                 F.when(
-                    s["kind"] == "media",
+                    s["kind"] == KIND_MEDIA,
                     F.format_string(' WC="%.2f"', s["conf"]),
                 ).otherwise(F.lit("")),
                 F.lit('><String CONTENT="'),

@@ -32,17 +32,17 @@ from .constants import (
 )
 from .operators.inference import stub_infer_one
 
-# Explicit whitespace class shared by all three engines (see
-# operators/normalize.py): \s differs between Python/Java and RE2 on
-# \x0B, and unicode whitespace (NBSP) is content.
-_WS = re.compile(r"[ \t\n\r\f\x0b]+")
+from .constants import WS_CLASS
+
+# \s is never trusted (see constants.WS_CLASS)
+_WS = re.compile(WS_CLASS + "+")
 _ARABIC = re.compile("[؀-ۿ]")
 
 
 def synth_spans(doc_num: int, text: str) -> list[tuple[int, str, str, str]]:
     """Mirror synth.exploded_spans for one flat document row:
     returns [(offset, kind, text, media_ref)]."""
-    tokens = [t for t in text.split(" ") if t != ""]
+    tokens = [t for t in (text or "").split(" ") if t != ""]
     n_text = math.ceil(len(tokens) / WORDS_PER_SPAN)
     if n_text < 1:
         return []
@@ -140,7 +140,11 @@ def extract_all(flat_rows: list[tuple[int, str]]) -> dict[str, OracleDoc]:
     Spark docs output has no row for them."""
     out = {}
     for doc_num, text in flat_rows:
-        if not synth_spans(doc_num, text):
+        spans = synth_spans(doc_num, text)
+        if not spans:
             continue
-        out[f"doc-{doc_num:06d}"] = extract_doc(doc_num, text)
+        ordered, score, status = extract_spans(spans)
+        out[f"doc-{doc_num:06d}"] = OracleDoc(
+            doc_id=f"doc-{doc_num:06d}", spans=ordered, score=score,
+            status=status)
     return out

@@ -112,6 +112,11 @@ def extract(
             lines_emitted=sc.accumulator(0),
             decode_failures=sc.accumulator(0),
         )
+        # accumulators are only exact if the Python stage runs once:
+        # without a persist, the spans and docs branches would each
+        # re-execute mapInPandas and inflate every counter by the
+        # number of actions taken (2-3x measured)
+        persist_inference = True
 
     spans = explode_spans(documents)
 
@@ -155,7 +160,8 @@ def extract(
     errors = inferred.filter(F.col("error").isNotNull()).select(
         "doc_id", "offset", "error"
     )
-    media_raw = inferred.filter(F.col("error").isNull()).select(
+    ok_lines = inferred.filter(F.col("error").isNull())
+    media_raw = ok_lines.select(
         "doc_id", "offset", "line_idx",
         F.lit(KIND_MEDIA).alias("kind"),
         "text", "media_ref", "conf",
@@ -163,7 +169,7 @@ def extract(
     raw_spans = text_branch.select(
         "doc_id", "offset", "line_idx", "kind", "text", "media_ref", "conf"
     ).unionByName(media_raw)
-    media_lines = inferred.filter(F.col("error").isNull())
+    media_lines = ok_lines
     media_lines = normalize_transcriptions(media_lines)
     media_lines = filter_confident_lines(media_lines)
     media_branch = media_lines.select(

@@ -63,7 +63,11 @@ def q_serialize_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span counts + mean confidence by kind over the pipeline output."""
     res = _run(spark, sf_dir)
+    # avg as round(sum,4)/count: a raw float avg differs between engines
+    # in the last ulps (summation order) and can flip a 6-dp rounding at
+    # a boundary; rounding the sum first (conf values are 2-dp decimals,
+    # ulp noise ~1e-12 << 5e-5) makes the division identical
     return res.spans_conf.groupBy("kind").agg(
         F.count("*").alias("n_spans"),
-        F.round(F.avg("conf"), 6).alias("avg_conf"),
+        F.round(F.round(F.sum("conf"), 4) / F.count("conf"), 6).alias("avg_conf"),
     )

@@ -7,6 +7,7 @@ drift independently.  The driver runs these against its pre-registered
 from __future__ import annotations
 
 from ..constants import (
+    WS_CLASS,
     ARABIC_BASE_CP,
     ARABIC_MOD,
     CONF_MOD,
@@ -86,7 +87,7 @@ kept AS (
 ),
 text_kept AS (
   SELECT doc_id, "offset",
-         trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')) AS text
+         trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g')) AS text
   FROM spans WHERE kind = 'text'
 ),
 merged AS (
@@ -140,7 +141,7 @@ FROM ordered GROUP BY doc_id
 
 SQL_CONF_HISTOGRAM = f"""{_PREFIX}
 SELECT kind, count(*) AS n_spans,
-       round(avg(conf), 6) AS avg_conf
+       round(round(sum(conf), 4) / count(conf), 6) AS avg_conf
 FROM ordered GROUP BY kind
 """
 

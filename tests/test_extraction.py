@@ -158,7 +158,6 @@ def test_accumulator_metrics_exact(spark, sf_smoke):
         r.media_ref
         for r in explode_spans(docs).filter(F.col("kind") == KIND_MEDIA).collect()
     ]
-    exp_pages = len(media_refs)
     exp_failures = 0
     exp_lines = 0
     for ref in media_refs:
@@ -167,6 +166,7 @@ def test_accumulator_metrics_exact(spark, sf_smoke):
             exp_failures += 1
         else:
             exp_lines += len(lines)
+    exp_pages = len(media_refs) - exp_failures   # decoded = attempted - failed
     assert got == {
         "pages_decoded": exp_pages,
         "lines_emitted": exp_lines,
