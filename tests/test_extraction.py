@@ -228,3 +228,20 @@ def test_heavy_doc_salting_bounds_skew(spark):
     ordered, _score, _status = extract_spans(flat)
     exp = [(order, text, ref) for (order, _kind, text, ref) in ordered]
     assert got == exp
+
+
+def test_partitioning_independence(spark, sf_smoke):
+    """The result must be identical whatever the salt width — output
+    depends only on data, never on physical partitioning (the property
+    that makes the salt a free knob at any cluster size)."""
+    docs = interleaved_documents(spark, sf_smoke)
+
+    def run(salt):
+        res = extract(spark, docs, with_metrics=False, salt_partitions=salt)
+        spans = sorted(tuple(r) for r in res.spans.collect())
+        docs_out = sorted(tuple(r) for r in res.docs.collect())
+        return spans, docs_out
+
+    base = run(None)
+    assert run(4) == base
+    assert run(64) == base
