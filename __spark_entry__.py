@@ -23,6 +23,7 @@ from pero_ocr_api_spark.functions.similarity import REGISTRY as _SIM
 from pero_ocr_api_spark.functions.text import REGISTRY as _TEXT
 from pero_ocr_api_spark.queries.controlplane import REGISTRY as _CP
 from pero_ocr_api_spark.queries.multimodal_q import REGISTRY as _MM
+from pero_ocr_api_spark.queries.sql_surface import REGISTRY as _SQL
 from pero_ocr_api_spark.queries.statemachine_q import REGISTRY as _SM
 
 
@@ -52,6 +53,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(_DEDUP)
     reg.update(_SIM)
     reg.update(_MM)
+    reg.update(_SQL)
     return reg
 
 

@@ -1,0 +1,51 @@
+"""The ``spark.sql`` surface: ONE ANSI SQL string per query, executed
+verbatim by BOTH engines — Spark SQL over temp views (the ``queries()``
+side) and DuckDB over the same parquet (the ``oracle_sql()`` side).
+
+This is the strongest possible oracle form: there is no second
+implementation to drift — the Spark entry runs the literal oracle
+string, so the gate verifies Spark's SQL engine itself (parser,
+optimizer, execution) against DuckDB on identical text.  Dialect
+constraint: only queries whose oracle SQL is ANSI-portable appear here
+(window-ordered string_agg, for example, is DuckDB-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import make_registry
+from ..session import load_table
+from .controlplane import REGISTRY as _CP
+
+REGISTRY, _reg_pair = make_registry()
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events",
+]
+
+# (new name, controlplane entry whose oracle SQL is dual-dialect)
+_PORTABLE = [
+    ("cp_sql_j1_three_way_join", "cp_j1_three_way_join"),
+    ("cp_sql_tpch_q1_pricing", "cp_tpch_q1_pricing"),
+    ("cp_sql_a5_counts_24h", "cp_a5_counts_24h"),
+    ("cp_sql_a1_a3_request_status", "cp_a1_a3_request_status"),
+    ("cp_sql_j6_rank_fallback", "cp_j6_rank_fallback"),
+    ("cp_sql_a5a6_cube", "cp_a5a6_state_engine_cube"),
+    ("cp_sql_tpch_q5_region_volume", "cp_tpch_q5_region_volume"),
+]
+
+
+def _sparksql_runner(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in _TABLES:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return run
+
+
+for _name, _src in _PORTABLE:
+    _sql = _CP[_src][1]
+    REGISTRY[_name] = (_sparksql_runner(_sql), _sql)
