@@ -77,6 +77,36 @@ sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
 """
 
 
+def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs (doc_a, doc_b) against the
+    shingle table — the one implementation shared by MinHash-LSH and
+    df-blocked candidate generation (a formula/rounding change lands in
+    one place, mirrored by one SQL shape)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------- minhash + LSH + verify
 def _sig_df(spark: SparkSession, sf: str) -> DataFrame:
     sh = shingles_df(spark, sf)
@@ -110,36 +140,9 @@ def minhash_pairs(spark: SparkSession, sf: str, threshold: float = 0.5) -> DataF
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return out
+    return _jaccard_verify(cand, sh, threshold)
 
 
-@_reg(
-    "td_dedup_minhash_lsh",
-    None,  # sql filled below
-)
 def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_pairs(spark, sf, threshold=0.5)
 
@@ -222,7 +225,6 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     blocking trick — df-capped so a common shingle can't produce a
     quadratic bucket), then exact Jaccard on the candidates."""
     sh = shingles_df(spark, sf)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = (
         sh.groupBy("sh").agg(F.count("*").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= 10))
@@ -239,26 +241,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.round(
-        F.col("n_common")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
-        6,
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.3)
-    )
+    return _jaccard_verify(cand, sh, threshold=0.3)
 
 
 # ----------------------------------------------------------------- simhash

@@ -16,9 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..registry import make_registry
 from ..session import load_table
 
-REGISTRY: dict[str, tuple] = {}
+REGISTRY, _reg = make_registry()
 
 N_QUERIES = 5     # vec_id < 5 are the query vectors
 TOP_K = 5
@@ -44,35 +45,49 @@ def _norm(a):
     )
 
 
-def q_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+def _cosine_topk(cand, queries, k, on=None):
+    """Shared score→rank→filter block: join candidates to (broadcast)
+    queries, exact cosine from PRE-COMPUTED norm columns (computing the
+    norm once per vector instead of once per pair is ~3x less scoring
+    work — the norm expression is identical, so values and rounding are
+    unchanged), deterministic rank, top-k.
+
+    cand: (n_id, n_emb, n_norm [, on]); queries: (q_id, q_emb, q_norm
+    [, on]).  on=None means cross join (brute force)."""
+    j = (
+        cand.join(F.broadcast(queries), on)
+        if on is not None
+        else cand.join(F.broadcast(queries))
     )
-    cand = emb.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    scored = j.filter(F.col("n_id") != F.col("q_id")).select(
+        "q_id", "n_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("n_emb"))
+            / (F.col("q_norm") * F.col("n_norm")),
+            6,
+        ).alias("cosine"),
     )
-    scored = (
-        cand.join(F.broadcast(queries))
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.round(
-                _dot(F.col("q_emb"), F.col("n_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("n_id").asc()
-    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", "cosine")
     )
+
+
+def q_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "norm", _norm(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    return _cosine_topk(cand, queries, TOP_K)
 
 
 SQL_BRUTEFORCE_TOPK = f"""
@@ -119,15 +134,22 @@ def _plane_weights(p: int) -> list[float]:
     return [_plane_weight(p, i) for i in range(DIM)]
 
 
-def q_lsh_signature(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+def _signature_expr():
+    """LSH signature as a pure column expression over `embedding` — a
+    derived column, never a self-join (attaching it via join would
+    rescan + shuffle the corpus at scale for no reason)."""
     sig = None
     for p in range(LSH_PLANES):
         w = F.array(*[F.lit(x) for x in _plane_weights(p)])
         dot = _dot(F.col("embedding"), w)
         bit = F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
         sig = bit if sig is None else F.concat(sig, bit)
-    return emb.select("vec_id", sig.alias("signature"))
+    return sig
+
+
+def q_lsh_signature(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select("vec_id", _signature_expr().alias("signature"))
 
 
 def _lsh_sql() -> str:
@@ -164,37 +186,20 @@ def ann_topk_lsh(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
     bucket, then exact cosine within the bucket.  Approximate by
     construction (rows-only check; the brute-force query above is the
     verified baseline)."""
-    emb = load_table(spark, sf, "embeddings")
-    sigs = q_lsh_signature(spark, sf)
-    e = emb.join(sigs, "vec_id")
+    e = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("sig", _signature_expr())
+        .withColumn("norm", _norm(F.col("embedding")))
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("signature").alias("sig"),
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"), "sig",
     )
     c = e.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("signature").alias("sig"),
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"), "sig",
     )
-    scored = (
-        c.join(F.broadcast(q), "sig")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id", "n_id",
-            F.round(
-                _dot(F.col("q_emb"), F.col("n_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "n_id", "cosine")
-    )
+    return _cosine_topk(c, q, k, on="sig")
 
 
 REGISTRY["td_sim_ann_lsh_topk"] = (ann_topk_lsh, None)  # approximate: rows-only
@@ -206,23 +211,28 @@ NEAR_DUP_THRESHOLD = 0.35  # synthetic gaussian vectors: cos ~ N(0, 1/8)
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, blocked by LSH bucket:
-    candidates are same-signature pairs only (equi-join — at 10^12 rows
-    the all-pairs product is impossible; a bucket is the unit of work)."""
-    emb = load_table(spark, sf, "embeddings")
-    sigs = q_lsh_signature(spark, sf)
-    e = emb.join(sigs, "vec_id")
+    candidates are same-signature pairs only (equi-join, never the
+    all-pairs product).  Scale note: LSH_PLANES must grow with corpus
+    size (buckets = 2^planes; within-bucket pairing is quadratic), so
+    at 10^12 rows this runs with ~40+ planes / multi-band signatures —
+    the constant here is sized for the test corpus."""
+    e = (
+        load_table(spark, sf, "embeddings")
+        .withColumn("sig", _signature_expr())
+        .withColumn("norm", _norm(F.col("embedding")))
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
-        F.col("signature").alias("sig"),
+        F.col("norm").alias("norm_a"), "sig",
     )
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
-        F.col("signature").alias("sig"),
+        F.col("norm").alias("norm_b"), "sig",
     )
     pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
     cos = F.round(
         _dot(F.col("emb_a"), F.col("emb_b"))
-        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        / (F.col("norm_a") * F.col("norm_b")),
         6,
     )
     return (
@@ -268,11 +278,13 @@ def _assignments(spark: SparkSession, sf: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
-    scored = emb.join(F.broadcast(cents)).select(
+    scored = emb.withColumn("norm", _norm(F.col("embedding"))).join(
+        F.broadcast(cents.withColumn("c_norm", _norm(F.col("c_emb"))))
+    ).select(
         "vec_id", "embedding", "c_id",
         F.round(
             _dot(F.col("embedding"), F.col("c_emb"))
-            / (_norm(F.col("embedding")) * _norm(F.col("c_emb"))),
+            / (F.col("norm") * F.col("c_norm")),
             6,
         ).alias("cs"),
     )
@@ -287,33 +299,18 @@ def _assignments(spark: SparkSession, sf: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF(nprobe=1) top-k: each query searches only its own cell — the
     canonical inverted-file ANN layout (cells = partitions at scale)."""
-    assigned = _assignments(spark, sf)
+    assigned = _assignments(spark, sf).withColumn(
+        "norm", _norm(F.col("embedding"))
+    )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-        F.col("cell").alias("cell"),
+        F.col("norm").alias("q_norm"), "cell",
     )
     c = assigned.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"),
-        "cell",
+        F.col("norm").alias("n_norm"), "cell",
     )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id", "n_id",
-            F.round(
-                _dot(F.col("q_emb"), F.col("n_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "rank", "n_id", "cosine")
-    )
+    return _cosine_topk(c, q, TOP_K, on="cell")
 
 
 def _ivf_sql() -> str:

@@ -29,7 +29,16 @@ from ..operators.multimodal import (
 from ..synth import SQL_EXPLODED_SPANS_CTE, exploded_spans
 from .extraction_sql import _hexval_sql
 
-REGISTRY: dict[str, tuple] = {}
+from ..registry import make_registry
+
+REGISTRY, _reg = make_registry()
+
+# COUPLED INVARIANTS with operators/multimodal.py — revisit BOTH sides
+# if any change:
+# - the MAX_MEGAPIXELS=5 downscale in _decode_fake is unreachable for
+#   synth dims (max 1696x880 = 1.49 MP), so SQL_MM_DECODE omits it;
+# - SQL_MM_FRAMES hardcodes stride 10 (= sample_frames default) and
+#   SQL_MM_RESIZE hardcodes 512 (= resize_images default).
 
 
 def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:

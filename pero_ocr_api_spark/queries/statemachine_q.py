@@ -67,7 +67,9 @@ pages AS (
   FROM pages_raw
 )"""
 
-REGISTRY: dict[str, tuple] = {}
+from ..registry import make_registry
+
+REGISTRY, _reg = make_registry()
 
 
 def q_claim(spark: SparkSession, sf: str) -> DataFrame:
