@@ -658,3 +658,72 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---- TPC-H Q6 shape: tight filter + single agg — the pushdown
+# showcase (all three predicates reach the scan, PLANS.md §3). ----
+@_reg(
+    "cp_tpch_q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---- TPC-H Q18 shape: large-order customers — aggregate, HAVING-style
+# semi filter, join back, deterministic top-k. ----
+@_reg(
+    "cp_tpch_q18_large_orders",
+    """WITH big AS (
+         SELECT l_orderkey, sum(l_quantity) AS total_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING sum(l_quantity) > 250)
+       SELECT c_name, o_orderkey,
+              CAST(o_orderdate AS TIMESTAMP) AS orderdate,
+              round(o_totalprice, 2) AS totalprice,
+              round(total_qty, 2) AS total_qty
+       FROM big JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+       ORDER BY totalprice DESC, o_orderkey
+       LIMIT 20""",
+)
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
