@@ -48,6 +48,25 @@ class CheckpointedExtractor:
         self.salt_partitions = salt_partitions
         self.manifest_dir = os.path.join(output_dir, "_manifest")
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # n_groups is part of the on-disk layout (hash-bucket width):
+        # resuming with a different value would silently skip or
+        # empty-commit groups, so the first run pins it and every later
+        # construction must match.
+        meta_path = os.path.join(self.manifest_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                committed_n = json.load(f)["n_groups"]
+            if committed_n != n_groups:
+                raise ValueError(
+                    f"checkpoint at {output_dir} was created with "
+                    f"n_groups={committed_n}; got {n_groups} — resuming "
+                    "with a different bucket width would lose groups"
+                )
+        else:
+            tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"n_groups": n_groups}, f)
+            os.replace(tmp, meta_path)
 
     # ---- manifest (snapshot log) ----
     def _manifest_path(self, group: int) -> str:

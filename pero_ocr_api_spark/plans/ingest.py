@@ -8,11 +8,15 @@
 The ORM insert-per-page loop becomes one declarative plan:
 parse JSON → explode the images map (N1) → initial state CREATED when
 the url is null (upload expected later) else WAITING → deterministic
-page ids (F8: sha2 of request+name, no RNG) → append to the work table.
+page ids (F8: component-wise sha2, delimiter-ambiguity-free) → append
+to the work table.
 
 Upload-completion (S5: multipart image upload rewrites page.url and
 flips CREATED→WAITING, /root/reference/app/main/routes.py:88-95,
-general.py:223-227) is ``complete_uploads``.
+general.py:223-227) is ``complete_uploads``; uploads the reference
+would reject with 400 — wrong page state or disallowed extension
+(routes.py:80-81,96-102) — leave the page row UNTOUCHED (so a retry
+with a valid file still works) and surface via ``rejected_uploads``.
 """
 
 from __future__ import annotations
@@ -32,13 +36,25 @@ REQUEST_SCHEMA = StructType(
 
 ALLOWED_IMAGE_EXTENSIONS = ["jpg", "jpeg", "png", "tif", "tiff"]  # config-example.py:8
 
+# extension = chars after the last dot of the path, before any ?query
+# or #fragment ('scan.jpg?token=x' → jpg, 'a/v1.2/scan.png' → png)
+EXT_RE = r"\.([^./?#]+)(?:[?#].*)?$"
+
+
+def _page_id(request_col, name_col):
+    """Deterministic, delimiter-ambiguity-free id: hash the components
+    separately before combining, so ('r:1','p') and ('r','1:p') cannot
+    collide the way a plain concat_ws(':') would."""
+    return F.sha2(F.concat(F.sha2(request_col, 256), F.sha2(name_col, 256)), 256)
+
 
 def parse_requests(raw: DataFrame, json_col: str = "payload") -> DataFrame:
     """(request_id, payload json-string) → (request_id, engine_id,
-    images, valid).  Malformed JSON or a payload without an images map
-    yields valid=false — the reference rejects such submissions with an
-    explicit error (routes.py:37-57), so they must stay visible as
-    rows, not vanish in a null-map explode."""
+    images, valid).  Malformed JSON, a payload without an images map,
+    or a missing/non-numeric engine yields valid=false — the reference
+    rejects such submissions with an explicit error (routes.py:37-57:
+    missing engine → 422, unparseable body → 400), so they must stay
+    visible as rows, not vanish in a null-map explode."""
     parsed = raw.select(
         "request_id", F.from_json(F.col(json_col), REQUEST_SCHEMA).alias("r")
     )
@@ -46,27 +62,29 @@ def parse_requests(raw: DataFrame, json_col: str = "payload") -> DataFrame:
         "request_id",
         F.col("r.engine").alias("engine_id"),
         F.col("r.images").alias("images"),
-        F.col("r.images").isNotNull().alias("valid"),
+        (F.col("r.images").isNotNull() & F.col("r.engine").isNotNull()).alias(
+            "valid"
+        ),
     )
 
 
 def invalid_requests(requests: DataFrame) -> DataFrame:
     """Submissions the reference would have rejected at the API
-    boundary (invalid JSON / missing images map)."""
+    boundary (invalid JSON / missing images map / missing engine)."""
     return requests.filter(~F.col("valid")).select("request_id")
 
 
 def explode_pages(requests: DataFrame) -> DataFrame:
     """One page row per images-map entry; CREATED iff url is null
     (general.py:33-38); deterministic page_id (guid.py analog)."""
-    pages = requests.select(
+    pages = requests.filter("valid").select(
         "request_id",
         "engine_id",
         F.explode("images").alias("name", "url"),
     )
-    ext = F.lower(F.regexp_extract(F.coalesce("url", "name"), r"\.([^.]+)$", 1))
+    ext = F.lower(F.regexp_extract(F.coalesce("url", "name"), EXT_RE, 1))
     return pages.select(
-        F.sha2(F.concat_ws(":", "request_id", "name"), 256).alias("page_id"),
+        _page_id(F.col("request_id"), F.col("name")).alias("page_id"),
         "request_id",
         "engine_id",
         "name",
@@ -79,30 +97,54 @@ def explode_pages(requests: DataFrame) -> DataFrame:
     )
 
 
-def complete_uploads(pages: DataFrame, uploads: DataFrame) -> DataFrame:
-    """Apply (request_id, name, new_url) uploads: rewrite url, flip
-    CREATED→WAITING — but an upload with a disallowed extension goes to
-    INVALID_FILE instead, exactly like the submit path (the reference
-    checks ALLOWED_EXTENSIONS on the uploaded filename, routes.py:89-90).
-    The ext column is recomputed from the post-upload url."""
-    up = uploads.select(
-        "request_id", "name", F.col("new_url").alias("_new_url")
+def _dedup_uploads(uploads: DataFrame) -> DataFrame:
+    """Reference upload is idempotent per page (the file overwrites,
+    page.url is rewritten, routes.py:88-95) — collapse client retries
+    to one deterministic row per (request_id, name)."""
+    return uploads.groupBy("request_id", "name").agg(
+        F.max("new_url").alias("_new_url")
     )
-    joined = pages.join(up, ["request_id", "name"], "left")
-    new_url = F.coalesce("_new_url", "url")
-    new_ext = F.lower(F.regexp_extract(F.coalesce(new_url, F.col("name")), r"\.([^.]+)$", 1))
-    applied = F.col("_new_url").isNotNull() & (F.col("state") == STATE_CREATED)
+
+
+def complete_uploads(pages: DataFrame, uploads: DataFrame) -> DataFrame:
+    """Apply (request_id, name, new_url) uploads: rewrite url + ext and
+    flip CREATED→WAITING.  An upload the reference would 400 — page not
+    in CREATED state (routes.py:80-81) or disallowed extension
+    (routes.py:96-102) — changes NOTHING on the page row, so a later
+    valid upload still applies."""
+    joined = pages.join(_dedup_uploads(uploads), ["request_id", "name"], "left")
+    new_ext = F.lower(F.regexp_extract("_new_url", EXT_RE, 1))
+    applied = (
+        F.col("_new_url").isNotNull()
+        & (F.col("state") == STATE_CREATED)
+        & new_ext.isin(ALLOWED_IMAGE_EXTENSIONS)
+    )
     return joined.select(
         "page_id", "request_id", "engine_id", "name",
-        new_url.alias("url"),
-        new_ext.alias("ext"),
-        F.when(
-            applied & ~new_ext.isin(ALLOWED_IMAGE_EXTENSIONS),
-            F.lit("INVALID_FILE"),
-        )
-        .when(applied, F.lit(STATE_WAITING))
-        .otherwise(F.col("state"))
-        .alias("state"),
+        F.when(applied, F.col("_new_url")).otherwise(F.col("url")).alias("url"),
+        F.when(applied, new_ext).otherwise(F.col("ext")).alias("ext"),
+        F.when(applied, F.lit(STATE_WAITING)).otherwise(F.col("state")).alias("state"),
+    )
+
+
+def rejected_uploads(pages: DataFrame, uploads: DataFrame) -> DataFrame:
+    """Uploads the reference answers with 400: unknown page, page not
+    CREATED, or disallowed extension — the batch analog of the error
+    response (surfaced, never silently dropped)."""
+    up = _dedup_uploads(uploads)
+    joined = up.join(
+        pages.select("request_id", "name", "state"), ["request_id", "name"], "left"
+    )
+    new_ext = F.lower(F.regexp_extract("_new_url", EXT_RE, 1))
+    reason = (
+        F.when(F.col("state").isNull(), F.lit("UNKNOWN_PAGE"))
+        .when(F.col("state") != STATE_CREATED, F.lit("WRONG_STATE"))
+        .when(~new_ext.isin(ALLOWED_IMAGE_EXTENSIONS), F.lit("BAD_EXTENSION"))
+    )
+    return (
+        joined.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select("request_id", "name", F.col("_new_url").alias("new_url"), "reason")
     )
 
 

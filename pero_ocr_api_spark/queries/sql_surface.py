@@ -39,8 +39,13 @@ _PORTABLE = [
 
 def _sparksql_runner(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
         for t in _TABLES:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            # register what exists — a query must not fail because an
+            # unrelated table's parquet is absent from the fixture dir
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+                load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         return spark.sql(sql)
 
     return run

@@ -87,6 +87,10 @@ def _notify_fn(min_interval_s: float):
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             full = pd.concat(chunks).sort_values(["ts", "message"])
+            # a null ts would store NaN as last_ts and NaN comparisons
+            # would suppress every future notification for the engine —
+            # eventless rows are dropped, never folded into state
+            full = full[full["ts"].notna()]
             for ts, message in zip(full["ts"], full["message"]):
                 t = ts.timestamp()
                 if last is None or (t - last) > min_interval_s:

@@ -64,3 +64,21 @@ def test_remaining_docs_left_anti(spark, docs, tmp_path_factory):
     assert remaining + done == total
     ck.run(spark, docs)
     assert ck.remaining_docs(spark, docs).count() == 0
+
+
+def test_n_groups_mismatch_refused(spark, sf_smoke, tmp_path_factory):
+    """Resuming a checkpoint with a different hash-bucket width would
+    silently skip groups — the constructor must refuse."""
+    import pytest as _pytest
+
+    from pero_ocr_api_spark.plans.checkpoint import CheckpointedExtractor
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("ckmeta"))
+    docs = interleaved_documents(spark, sf_smoke).limit(20)
+    CheckpointedExtractor(out, n_groups=4).run(spark, docs)
+    with _pytest.raises(ValueError, match="n_groups=4"):
+        CheckpointedExtractor(out, n_groups=8)
+    # same width re-opens fine and is a no-op resume
+    m = CheckpointedExtractor(out, n_groups=4).run(spark, docs)
+    assert len(m) == 4
