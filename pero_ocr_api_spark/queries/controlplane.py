@@ -97,7 +97,7 @@ def q_j1(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("n_lines"),
@@ -236,7 +236,7 @@ def q_a6(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     nation = load_table(spark, sf, "nation")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("n_orders"))
@@ -436,7 +436,8 @@ def q_f5(spark: SparkSession, sf: str) -> DataFrame:
 # ---- F9: JSON payload decode (routes.py:42,51) ----
 @_reg(
     "cp_f9_json_extract",
-    """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+    """SELECT event_type,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
        FROM events GROUP BY event_type""",
 )
 def q_f9(spark: SparkSession, sf: str) -> DataFrame:
@@ -602,7 +603,7 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cut)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -717,7 +718,7 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "o_orderkey",
             F.col("o_orderdate").alias("orderdate"),
