@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..constants import (
     ERROR_STATES,
     STATE_CANCELED,
+    STATE_CREATED,
     STATE_EXPIRED,
     STATE_PROCESSED,
     STATE_PROCESSING,
@@ -70,6 +71,96 @@ def claim_pages(
         .limit(max_claims)
         .withColumn("state", F.lit(STATE_PROCESSING))
         .withColumn("processing_ts", F.lit(now).cast("timestamp"))
+    )
+
+
+def claim_pages_authorized(
+    pages: DataFrame,
+    requests: DataFrame,
+    api_keys: DataFrame,
+    engine_id: int,
+    now: str,
+    max_claims: int = 1,
+) -> DataFrame:
+    """Suspension-aware claim — the composed query the reference
+    actually runs (P10 + W3): Page⋈Request⋈ApiKey with
+    ``suspension == False`` before the WAITING top-k flip
+    (/root/reference/app/main/general.py:90-96).
+
+    requests carries (request_id, api_key_id); api_keys carries
+    (key_id, suspension).  Both are auth dimensions that grow with
+    user count, not data volume — broadcast semi-joins keep the pages
+    fact table unshuffled before the distributed top-k."""
+    allowed_requests = (
+        requests.join(
+            F.broadcast(api_keys.filter(~F.col("suspension"))),
+            requests.api_key_id == api_keys.key_id,
+            "left_semi",
+        ).select("request_id")
+    )
+    authorized = pages.join(
+        F.broadcast(allowed_requests), "request_id", "left_semi"
+    )
+    return claim_pages(authorized, engine_id, now, max_claims)
+
+
+def cancel_pages(pages: DataFrame, request_id: str, now: str) -> DataFrame:
+    """Cancel a request: its CREATED/WAITING/PROCESSING pages flip to
+    CANCELED with ``finish_ts`` stamped; terminal pages are untouched
+    (/root/reference/app/main/general.py:54-63 — note the reference
+    cancels in-flight PROCESSING pages too, not just queued ones).
+    Returns the full pages table with the sweep applied."""
+    cancelable = (F.col("request_id") == request_id) & F.col("state").isin(
+        STATE_CREATED, STATE_WAITING, STATE_PROCESSING
+    )
+    return pages.withColumn(
+        "finish_ts",
+        F.when(cancelable, F.lit(now).cast("timestamp")).otherwise(
+            F.col("finish_ts")
+        ),
+    ).withColumn(
+        "state",
+        F.when(cancelable, STATE_CANCELED).otherwise(F.col("state")),
+    )
+
+
+def finish_requests(pages: DataFrame, requests: DataFrame, now: str) -> DataFrame:
+    """Request-level finish propagation: when every page of a request
+    is terminal, stamp ``finish_ts = now`` on the request (keeping an
+    already-set value) — the batch analog of
+    /root/reference/app/main/general.py:147-161, where the last
+    finishing page writes ``request.finish_timestamp``.  The expiry
+    join (app/__init__.py:129-132) reads this column.
+
+    A request with zero pages is left unstamped (the reference's
+    ratio would divide by zero there; batch semantics define it as
+    not-done).  One aggregate + one broadcastable join: the per-request
+    done-flag table is |requests|-sized, far below the pages fact."""
+    done = (
+        pages.groupBy("request_id")
+        .agg(
+            (
+                F.count(F.when(F.col("state").isin(TERMINAL_STATES), 1))
+                == F.count("*")
+            ).alias("_done")
+        )
+        .filter(F.col("_done"))
+        .select("request_id")
+    )
+    return (
+        requests.join(
+            done.withColumn("_all_terminal", F.lit(True)),
+            "request_id",
+            "left",
+        )
+        .withColumn(
+            "finish_ts",
+            F.when(
+                F.col("_all_terminal") & F.col("finish_ts").isNull(),
+                F.lit(now).cast("timestamp"),
+            ).otherwise(F.col("finish_ts")),
+        )
+        .drop("_all_terminal")
     )
 
 

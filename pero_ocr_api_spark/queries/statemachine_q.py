@@ -8,8 +8,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..plans.admin import suspend_keys, validate_downloads
 from ..plans.statemachine import (
-    claim_pages, expire_old, request_completion, requeue_timed_out,
+    cancel_pages,
+    claim_pages,
+    claim_pages_authorized,
+    expire_old,
+    finish_requests,
+    request_completion,
+    requeue_timed_out,
 )
 
 NOW = "2024-02-01 00:00:00"
@@ -24,7 +31,41 @@ _ROWS = [
     ("p7", "r3", 2, "NOT_FOUND", None, "2024-01-20 10:00:00", None, "2024-01-21 12:00:00"),
     ("p8", "r4", 3, "WAITING", None, "2024-01-31 20:00:00", None, None),
     ("p9", "r4", 1, "CANCELED", None, "2024-01-10 09:00:00", None, "2024-01-10 10:00:00"),
+    ("p10", "r3", 2, "EXPIRED", None, "2024-01-01 08:00:00", None, "2024-01-02 09:00:00"),
+    ("p11", "r6", 1, "PROCESSED", 77.0, "2024-01-24 10:00:00", None, "2024-01-26 00:00:00"),
 ]
+
+# Auth dimensions for the composed claim / finish / download surfaces:
+# requests → owning api key (+ any pre-existing request finish_ts),
+# api_keys → suspension flag (general.py:90-96, suspend_users.py:36-46).
+_REQ_ROWS = [
+    ("r1", "k1", 1, None),
+    ("r2", "k1", 1, None),
+    ("r3", "k2", 2, None),
+    ("r4", "k3", 3, None),                      # owned by a suspended key
+    ("r5", "k2", 1, None),                      # zero pages
+    ("r6", "k2", 2, "2024-01-25 00:00:00"),     # already stamped
+]
+_REQ_SCHEMA = "request_id string, api_key_id string, engine_id int, finish_ts string"
+
+_KEY_ROWS = [
+    ("k1", "alpha", False),
+    ("k2", "bravo", False),
+    ("k3", "charlie", True),
+]
+_KEY_SCHEMA = "key_id string, api_string string, suspension boolean"
+
+# One download probe per branch of the routes.py:136-166 taxonomy.
+_DL_ROWS = [
+    ("alpha", "r2", "p5", "txt"),       # 200 ok
+    ("alpha", "r9", "p1", "txt"),       # 404 request_not_found
+    ("bravo", "r1", "p1", "txt"),       # 401 wrong_api_key (r1 is alpha's)
+    ("alpha", "r1", "pX", "txt"),       # 404 page_not_found
+    ("bravo", "r3", "p10", "page"),     # 404 page_expired
+    ("alpha", "r1", "p1", "alto"),      # 404 page_not_processed (WAITING)
+    ("bravo", "r3", "p6", "pdf"),       # 400 bad_format
+]
+_DL_SCHEMA = "api_string string, request_id string, page_name string, format string"
 
 _SCHEMA = (
     "page_id string, request_id string, engine_id int, state string, "
@@ -39,19 +80,38 @@ def pages_fixture(spark: SparkSession) -> DataFrame:
     return df
 
 
-def _sql_rows() -> str:
+def requests_fixture(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(_REQ_ROWS, _REQ_SCHEMA)
+    return df.withColumn("finish_ts", df["finish_ts"].cast("timestamp"))
+
+
+def keys_fixture(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_KEY_ROWS, _KEY_SCHEMA)
+
+
+def downloads_fixture(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_DL_ROWS, _DL_SCHEMA)
+
+
+def _sql_values(rows) -> str:
     vals = []
-    for r in _ROWS:
+    for r in rows:
         cells = []
         for v in r:
             if v is None:
                 cells.append("NULL")
+            elif isinstance(v, bool):
+                cells.append("TRUE" if v else "FALSE")
             elif isinstance(v, str):
                 cells.append(f"'{v}'")
             else:
                 cells.append(str(v))
         vals.append("(" + ", ".join(cells) + ")")
     return ",\n    ".join(vals)
+
+
+def _sql_rows() -> str:
+    return _sql_values(_ROWS)
 
 
 _SQL_PAGES = f"""pages_raw(page_id, request_id, engine_id, state, score,
@@ -148,4 +208,150 @@ SELECT request_id,
           'EXPIRED','CANCELED')) = count(*)) AS done,
        round(avg(CASE WHEN state = 'PROCESSED' THEN score END), 6) AS avg_quality
 FROM pages GROUP BY request_id""",
+)
+
+
+# ---- Round-2 lifecycle surfaces: cancel, suspension-aware claim,
+# request finish propagation, key-suspension sweep, download
+# validation (VERDICT r1 "What's missing" #1-#5). ----
+
+_SQL_REQUESTS = f"""requests_raw(request_id, api_key_id, engine_id, finish_ts_s) AS (
+  VALUES
+    {_sql_values(_REQ_ROWS)}
+),
+requests AS (
+  SELECT request_id, api_key_id, engine_id,
+         CAST(finish_ts_s AS TIMESTAMP) AS finish_ts
+  FROM requests_raw
+)"""
+
+_SQL_KEYS = f"""api_keys(key_id, api_string, suspension) AS (
+  VALUES
+    {_sql_values(_KEY_ROWS)}
+)"""
+
+_SQL_DOWNLOADS = f"""downloads(api_string, request_id, page_name, format) AS (
+  VALUES
+    {_sql_values(_DL_ROWS)}
+)"""
+
+_TERMINAL_SQL = ("('PROCESSED','NOT_FOUND','INVALID_FILE',"
+                 "'PROCESSING_FAILED','EXPIRED','CANCELED')")
+
+
+def q_cancel(spark: SparkSession, sf: str) -> DataFrame:
+    return cancel_pages(pages_fixture(spark), "r1", NOW).select(
+        "page_id", "state", "finish_ts"
+    )
+
+
+REGISTRY["cp_sm_cancel"] = (
+    q_cancel,
+    f"""WITH {_SQL_PAGES}
+SELECT page_id,
+       CASE WHEN request_id = 'r1'
+                 AND state IN ('CREATED','WAITING','PROCESSING')
+            THEN 'CANCELED' ELSE state END AS state,
+       CASE WHEN request_id = 'r1'
+                 AND state IN ('CREATED','WAITING','PROCESSING')
+            THEN TIMESTAMP '{NOW}' ELSE finish_ts END AS finish_ts
+FROM pages""",
+)
+
+
+def q_claim_auth(spark: SparkSession, sf: str) -> DataFrame:
+    return claim_pages_authorized(
+        pages_fixture(spark),
+        requests_fixture(spark),
+        keys_fixture(spark),
+        engine_id=1,
+        now=NOW,
+        max_claims=3,
+    ).select("page_id", "request_id", "engine_id", "state", "processing_ts")
+
+
+REGISTRY["cp_sm_claim_auth"] = (
+    q_claim_auth,
+    f"""WITH {_SQL_PAGES},
+{_SQL_REQUESTS},
+{_SQL_KEYS}
+SELECT page_id, request_id, engine_id,
+       'PROCESSING' AS state,
+       TIMESTAMP '{NOW}' AS processing_ts
+FROM (
+  SELECT p.*, row_number() OVER (
+    ORDER BY (p.engine_id = 1) DESC, p.creation_ts ASC, p.page_id ASC) AS rn
+  FROM pages p
+  JOIN requests r ON p.request_id = r.request_id
+  JOIN api_keys k ON r.api_key_id = k.key_id AND NOT k.suspension
+  WHERE p.state = 'WAITING') t
+WHERE rn <= 3""",
+)
+
+
+def q_finish(spark: SparkSession, sf: str) -> DataFrame:
+    return finish_requests(pages_fixture(spark), requests_fixture(spark), NOW)
+
+
+REGISTRY["cp_sm_finish"] = (
+    q_finish,
+    f"""WITH {_SQL_PAGES},
+{_SQL_REQUESTS},
+done AS (
+  SELECT request_id FROM pages GROUP BY request_id
+  HAVING count(*) FILTER (WHERE state IN {_TERMINAL_SQL}) = count(*)
+)
+SELECT r.request_id, r.api_key_id, r.engine_id,
+       CASE WHEN d.request_id IS NOT NULL AND r.finish_ts IS NULL
+            THEN TIMESTAMP '{NOW}' ELSE r.finish_ts END AS finish_ts
+FROM requests r LEFT JOIN done d ON r.request_id = d.request_id""",
+)
+
+
+def q_suspend(spark: SparkSession, sf: str) -> DataFrame:
+    return suspend_keys(keys_fixture(spark), ["alpha"])
+
+
+REGISTRY["cp_admin_suspend"] = (
+    q_suspend,
+    f"""WITH {_SQL_KEYS}
+SELECT key_id, api_string, api_string NOT IN ('alpha') AS suspension
+FROM api_keys""",
+)
+
+
+def q_dl_validate(spark: SparkSession, sf: str) -> DataFrame:
+    return validate_downloads(
+        downloads_fixture(spark),
+        requests_fixture(spark),
+        pages_fixture(spark),
+        keys_fixture(spark),
+    )
+
+
+REGISTRY["cp_dl_validate"] = (
+    q_dl_validate,
+    f"""WITH {_SQL_PAGES},
+{_SQL_REQUESTS},
+{_SQL_KEYS},
+{_SQL_DOWNLOADS}
+SELECT d.api_string, d.request_id, d.page_name, d.format,
+       CASE WHEN r.request_id IS NULL THEN 404
+            WHEN r.api_key_id IS DISTINCT FROM k.key_id THEN 401
+            WHEN p.page_id IS NULL THEN 404
+            WHEN p.state = 'EXPIRED' THEN 404
+            WHEN p.state <> 'PROCESSED' THEN 404
+            WHEN d.format NOT IN ('alto', 'page', 'txt') THEN 400
+            ELSE 200 END AS http_status,
+       CASE WHEN r.request_id IS NULL THEN 'request_not_found'
+            WHEN r.api_key_id IS DISTINCT FROM k.key_id THEN 'wrong_api_key'
+            WHEN p.page_id IS NULL THEN 'page_not_found'
+            WHEN p.state = 'EXPIRED' THEN 'page_expired'
+            WHEN p.state <> 'PROCESSED' THEN 'page_not_processed'
+            WHEN d.format NOT IN ('alto', 'page', 'txt') THEN 'bad_format'
+            ELSE 'ok' END AS reason
+FROM downloads d
+LEFT JOIN requests r ON d.request_id = r.request_id
+LEFT JOIN api_keys k ON d.api_string = k.api_string
+LEFT JOIN pages p ON d.request_id = p.request_id AND d.page_name = p.page_id""",
 )

@@ -1,6 +1,8 @@
 """State-machine lifecycle sweeps (reference background jobs,
 app/__init__.py:71-151) as deterministic batch transforms."""
 
+from pyspark.sql import functions as F
+
 from pero_ocr_api_spark.constants import (
     STATE_EXPIRED, STATE_PROCESSED, STATE_PROCESSING, STATE_WAITING,
 )
@@ -161,3 +163,91 @@ def test_lifecycle_invariants_random(spark):
         for r in df.collect():
             if before[r.page_id] in TERMINAL_STATES:
                 assert r.state in TERMINAL_STATES
+
+
+def _auth_dims(spark):
+    requests = spark.createDataFrame(
+        [("r1", "k1", None), ("r2", "k1", None), ("r3", "k2", None)],
+        "request_id string, api_key_id string, finish_ts string",
+    ).withColumn("finish_ts", F.col("finish_ts").cast("timestamp"))
+    keys = spark.createDataFrame(
+        [("k1", "alpha", False), ("k2", "bravo", True)],
+        "key_id string, api_string string, suspension boolean",
+    )
+    return requests, keys
+
+
+def test_cancel_request_flips_queued_and_inflight(spark):
+    from pero_ocr_api_spark.plans.statemachine import cancel_pages
+
+    after = {r.page_id: r for r in cancel_pages(_pages(spark), "r1", NOW).collect()}
+    # r1's WAITING (p1) and in-flight PROCESSING (p3) both cancel —
+    # general.py:56 includes PROCESSING in the cancelable set
+    for pid in ("p1", "p3"):
+        assert after[pid].state == "CANCELED"
+        assert str(after[pid].finish_ts) == NOW
+    # other requests untouched, terminal pages keep their finish_ts
+    assert after["p4"].state == STATE_PROCESSING
+    assert after["p5"].state == STATE_PROCESSED
+    assert str(after["p5"].finish_ts) == "2024-01-31 12:00:00"
+
+
+def test_cancel_is_idempotent(spark):
+    from pero_ocr_api_spark.plans.statemachine import cancel_pages
+
+    once = cancel_pages(_pages(spark), "r1", NOW)
+    twice = cancel_pages(once, "r1", "2024-03-01 00:00:00")
+    snap = lambda df: sorted(tuple(r) for r in df.collect())
+    assert snap(once) == snap(twice)  # CANCELED is terminal; no re-stamp
+
+
+def test_claim_authorized_skips_suspended_keys(spark):
+    from pero_ocr_api_spark.plans.statemachine import claim_pages_authorized
+
+    requests, keys = _auth_dims(spark)
+    # suspend k1 instead: r1's WAITING pages become unclaimable
+    keys = spark.createDataFrame(
+        [("k1", "alpha", True), ("k2", "bravo", False)],
+        "key_id string, api_string string, suspension boolean",
+    )
+    got = claim_pages_authorized(
+        _pages(spark), requests, keys, engine_id=1, now=NOW, max_claims=5
+    ).collect()
+    assert got == []  # only r1 has WAITING pages and its key is out
+
+
+def test_finish_requests_stamps_done_only_once(spark):
+    from pero_ocr_api_spark.plans.statemachine import finish_requests
+
+    pre = "2024-01-25 00:00:00"
+    requests = spark.createDataFrame(
+        [("r1", "k1", None), ("r2", "k1", None), ("r3", "k2", pre),
+         ("r9", "k2", None)],
+        "request_id string, api_key_id string, finish_ts string",
+    ).withColumn("finish_ts", F.col("finish_ts").cast("timestamp"))
+    got = {
+        r.request_id: r
+        for r in finish_requests(_pages(spark), requests, NOW).collect()
+    }
+    assert got["r1"].finish_ts is None            # still has WAITING pages
+    assert got["r2"].finish_ts is None            # p4 in flight
+    assert str(got["r3"].finish_ts) == pre        # done but already stamped
+    assert got["r9"].finish_ts is None            # zero pages ≠ done
+
+
+def test_suspend_keys_allowlist_semantics(spark):
+    from pero_ocr_api_spark.plans.admin import suspend_keys
+
+    keys = spark.createDataFrame(
+        [("k1", "alpha", True), ("k2", "bravo", False), ("k3", "charlie", False)],
+        "key_id string, api_string string, suspension boolean",
+    )
+    with_list = {
+        r.api_string: r.suspension
+        for r in suspend_keys(keys, ["bravo"]).collect()
+    }
+    assert with_list == {"alpha": True, "bravo": False, "charlie": True}
+    none_given = {
+        r.api_string: r.suspension for r in suspend_keys(keys, None).collect()
+    }
+    assert none_given == {"alpha": False, "bravo": False, "charlie": False}
