@@ -85,7 +85,7 @@ print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
 """
 
 
-def run_level(cores: int, sf_dir: str, reps: int = 1) -> dict:
+def run_level(cores: int, sf_dir: str, reps: int = 2) -> dict:
     script = _WORKER.replace("REPO_PLACEHOLDER", repr(REPO))
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), sf_dir,
@@ -128,6 +128,10 @@ sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 (criterion ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
 ## Workload model
+
+Each parallelism level reports the best of 2 full runs (warmup with a
+zero-cost config excluded), bounding run-to-run variance on a shared
+VM.
 
 Per-page inference cost is emulated as 15 ms accelerator latency +
 ~0.7 ms CPU (operators/inference.py) — the reference's PageParser is

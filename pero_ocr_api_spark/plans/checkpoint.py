@@ -41,6 +41,17 @@ class SimulatedFailure(RuntimeError):
     """Raised by run(fail_after=...) to model a mid-job crash in tests."""
 
 
+def _fingerprint(documents: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive xor of doc_id hashes) — cheap
+    identity check between a live source and the frozen snapshot.
+    bit_xor rather than sum: commutative AND overflow-free under ANSI."""
+    row = documents.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
 class CheckpointedExtractor:
     def __init__(self, output_dir: str, n_groups: int = 8, salt_partitions: int | None = None):
         self.output_dir = output_dir
@@ -63,10 +74,48 @@ class CheckpointedExtractor:
                     "with a different bucket width would lose groups"
                 )
         else:
+            # No pin yet.  If manifests already exist (a checkpoint
+            # from before the _meta.json pin), the constructor argument
+            # must NOT silently become the pin — a wrong value would be
+            # backfilled as truth.  Derive the width from the lineage
+            # rows (recorded per-commit since round 2) or refuse.
+            legacy = self._legacy_manifest_n_groups()
+            if legacy is not None:
+                if legacy != n_groups:
+                    raise ValueError(
+                        f"checkpoint at {output_dir} has committed "
+                        f"manifests recording n_groups={legacy}; got "
+                        f"{n_groups}"
+                    )
+            elif any(
+                f.startswith("group-") and f.endswith(".json")
+                for f in os.listdir(self.manifest_dir)
+            ):
+                raise ValueError(
+                    f"checkpoint at {output_dir} has committed manifests "
+                    "but no recorded n_groups (pre-pin layout) — cannot "
+                    "verify the bucket width; start a fresh output_dir"
+                )
             tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump({"n_groups": n_groups}, f)
             os.replace(tmp, meta_path)
+
+    def _legacy_manifest_n_groups(self) -> int | None:
+        """The n_groups recorded in committed lineage rows, if any
+        manifest carries one (single consistent value required)."""
+        seen = set()
+        for fname in os.listdir(self.manifest_dir):
+            if fname.startswith("group-") and fname.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, fname)) as f:
+                    lin = json.load(f)
+                if "n_groups" in lin:
+                    seen.add(lin["n_groups"])
+        if len(seen) > 1:
+            raise ValueError(
+                f"manifests disagree on n_groups: {sorted(seen)}"
+            )
+        return seen.pop() if seen else None
 
     # ---- manifest (snapshot log) ----
     def _manifest_path(self, group: int) -> str:
@@ -107,7 +156,23 @@ class CheckpointedExtractor:
             self._grouped(documents).write.mode("overwrite").partitionBy(
                 "group_id"
             ).parquet(staged)
-        return spark.read.parquet(staged)
+            return spark.read.parquet(staged)
+        # Resuming over an existing snapshot: refuse if the caller's
+        # documents differ from what was frozen — silently processing
+        # the stale snapshot is the same divergence class the n_groups
+        # pin guards against.  A changed source needs a fresh
+        # output_dir.  (Two cheap single-agg scans, resume-only.)
+        frozen = spark.read.parquet(staged)
+        fp_new, fp_old = _fingerprint(documents), _fingerprint(frozen)
+        if fp_new != fp_old:
+            raise ValueError(
+                f"checkpoint at {self.output_dir} froze an input snapshot "
+                f"of {fp_old[0]} docs (doc_id xor {fp_old[1]}); the "
+                f"documents passed now fingerprint as {fp_new[0]} docs "
+                f"(xor {fp_new[1]}) — resuming would silently process "
+                "stale data; use a fresh output_dir for a changed source"
+            )
+        return frozen
 
     def run(
         self,
@@ -142,6 +207,7 @@ class CheckpointedExtractor:
             res.unpersist()
             lineage = {
                 "run_id": run_id,
+                "n_groups": self.n_groups,  # makes the pin derivable
                 "group_id": g,
                 "doc_count": doc_count,
                 "span_count": span_count,
@@ -179,8 +245,8 @@ class CheckpointedExtractor:
             for lin in self.committed_groups().values()
         ]
         return spark.createDataFrame(rows) if rows else spark.createDataFrame(
-            [], "run_id string, group_id int, doc_count long, span_count long, "
-            "wall_ms long, committed_at string"
+            [], "run_id string, n_groups long, group_id int, doc_count long, "
+            "span_count long, wall_ms long, committed_at string"
         )
 
     def remaining_docs(self, spark: SparkSession, documents: DataFrame) -> DataFrame:

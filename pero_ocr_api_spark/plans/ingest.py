@@ -14,9 +14,10 @@ to the work table.
 Upload-completion (S5: multipart image upload rewrites page.url and
 flips CREATED→WAITING, /root/reference/app/main/routes.py:88-95,
 general.py:223-227) is ``complete_uploads``; uploads the reference
-would reject with 400 — wrong page state or disallowed extension
-(routes.py:80-81,96-102) — leave the page row UNTOUCHED (so a retry
-with a valid file still works) and surface via ``rejected_uploads``.
+would reject — unknown page 404 (routes.py:74-77), wrong page state
+400 (routes.py:78-81), disallowed extension 422 (routes.py:99-103) —
+leave the page row UNTOUCHED (so a retry with a valid file still
+works) and surface via ``rejected_uploads``.
 """
 
 from __future__ import annotations
@@ -100,9 +101,19 @@ def explode_pages(requests: DataFrame) -> DataFrame:
 def _dedup_uploads(uploads: DataFrame) -> DataFrame:
     """Reference upload is idempotent per page (the file overwrites,
     page.url is rewritten, routes.py:88-95) — collapse client retries
-    to one deterministic row per (request_id, name)."""
+    to one deterministic row per (request_id, name), PREFERRING
+    candidates that would pass extension validation: the reference
+    processes uploads sequentially, so a valid upload applies even if
+    an invalid retry also arrived; a plain max(new_url) would let the
+    invalid one shadow it.  Tie-break among equally-valid candidates
+    stays max(new_url)."""
+    new_ext = F.lower(F.regexp_extract("new_url", EXT_RE, 1))
+    preference = F.struct(
+        new_ext.isin(ALLOWED_IMAGE_EXTENSIONS).alias("valid"),
+        F.col("new_url").alias("url"),
+    )
     return uploads.groupBy("request_id", "name").agg(
-        F.max("new_url").alias("_new_url")
+        F.max_by("new_url", preference).alias("_new_url")
     )
 
 
@@ -128,9 +139,9 @@ def complete_uploads(pages: DataFrame, uploads: DataFrame) -> DataFrame:
 
 
 def rejected_uploads(pages: DataFrame, uploads: DataFrame) -> DataFrame:
-    """Uploads the reference answers with 400: unknown page, page not
-    CREATED, or disallowed extension — the batch analog of the error
-    response (surfaced, never silently dropped)."""
+    """Uploads the reference rejects: unknown page (404), page not
+    CREATED (400), or disallowed extension (422) — the batch analog of
+    the error responses (surfaced, never silently dropped)."""
     up = _dedup_uploads(uploads)
     joined = up.join(
         pages.select("request_id", "name", "state"), ["request_id", "name"], "left"

@@ -75,10 +75,72 @@ def test_n_groups_mismatch_refused(spark, sf_smoke, tmp_path_factory):
     from pero_ocr_api_spark.synth import interleaved_documents
 
     out = str(tmp_path_factory.mktemp("ckmeta"))
-    docs = interleaved_documents(spark, sf_smoke).limit(20)
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
     CheckpointedExtractor(out, n_groups=4).run(spark, docs)
     with _pytest.raises(ValueError, match="n_groups=4"):
         CheckpointedExtractor(out, n_groups=8)
     # same width re-opens fine and is a no-op resume
     m = CheckpointedExtractor(out, n_groups=4).run(spark, docs)
     assert len(m) == 4
+
+
+def test_changed_input_on_resume_refused(spark, sf_smoke, tmp_path_factory):
+    """ADVICE r1: resuming a partially-committed checkpoint with a
+    different documents DataFrame must refuse, not silently process
+    the frozen stale snapshot."""
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("ckfp"))
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
+    ck = CheckpointedExtractor(out, n_groups=4)
+    with pytest.raises(SimulatedFailure):
+        ck.run(spark, docs, fail_after=1)
+    with pytest.raises(ValueError, match="fingerprint"):
+        CheckpointedExtractor(out, n_groups=4).run(spark, docs.limit(10))
+    # the unchanged source still resumes to completion
+    m = CheckpointedExtractor(out, n_groups=4).run(spark, docs)
+    assert len(m) == 4
+
+
+def test_prepin_checkpoint_derives_or_refuses(spark, sf_smoke, tmp_path_factory):
+    """A checkpoint whose _meta.json is missing but whose manifests
+    exist must derive n_groups from the lineage rows (recorded
+    per-commit) — and refuse a contradicting constructor value —
+    instead of backfilling whatever the caller passed."""
+    import json
+    import os
+
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("cklegacy"))
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
+    CheckpointedExtractor(out, n_groups=4).run(spark, docs)
+    meta = os.path.join(out, "_manifest", "_meta.json")
+    os.remove(meta)  # simulate a pre-pin checkpoint
+    # wrong width is caught via the lineage-recorded value
+    with pytest.raises(ValueError, match="n_groups=4"):
+        CheckpointedExtractor(out, n_groups=8)
+    # matching width re-pins and resumes
+    m = CheckpointedExtractor(out, n_groups=4).run(spark, docs)
+    assert len(m) == 4 and os.path.exists(meta)
+    # truly legacy (no n_groups in any lineage row): refuse outright
+    os.remove(meta)
+    for g in range(4):
+        p = os.path.join(out, "_manifest", f"group-{g}.json")
+        lin = json.load(open(p))
+        lin.pop("n_groups")
+        json.dump(lin, open(p, "w"))
+    with pytest.raises(ValueError, match="pre-pin"):
+        CheckpointedExtractor(out, n_groups=4)
+
+
+def test_lineage_records_n_groups(spark, sf_smoke, tmp_path_factory):
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("cklin"))
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
+    ck = CheckpointedExtractor(out, n_groups=4)
+    ck.run(spark, docs)
+    rows = ck.lineage_df(spark).collect()
+    assert len(rows) == 4
+    assert all(r.n_groups == 4 for r in rows)

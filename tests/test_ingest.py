@@ -162,3 +162,22 @@ def test_page_id_delimiter_unambiguous(spark):
     )
     ids = [r.page_id for r in explode_pages(parse_requests(raw)).collect()]
     assert len(ids) == 2 and ids[0] != ids[1]
+
+
+def test_valid_upload_not_shadowed_by_invalid_retry(spark):
+    """Same-batch retries for one page: the valid-extension candidate
+    must win even when an invalid one sorts lexicographically later —
+    the reference applies uploads sequentially, so the valid file
+    lands (ADVICE r1: max(new_url) alone let 'z.pdf' shadow 'a.png')."""
+    pages = explode_pages(parse_requests(_requests_df(spark)))
+    uploads = spark.createDataFrame(
+        [
+            ("req-1", "page_b", "file:///up/a.png"),     # valid
+            ("req-1", "page_b", "file:///up/z.pdf"),     # invalid, sorts last
+        ],
+        "request_id string, name string, new_url string",
+    )
+    after = {(r.request_id, r.name): r for r in complete_uploads(pages, uploads).collect()}
+    assert after[("req-1", "page_b")].state == STATE_WAITING
+    assert after[("req-1", "page_b")].url == "file:///up/a.png"
+    assert after[("req-1", "page_b")].ext == "png"
