@@ -245,3 +245,19 @@ def test_partitioning_independence(spark, sf_smoke):
     base = run(None)
     assert run(4) == base
     assert run(64) == base
+
+
+def test_docs_plan_prunes_window(spark, sf_smoke):
+    """The per-doc score action must not pay the reading-order window:
+    Catalyst prunes the Window/Sort (the `order` column is unused in
+    `docs`) and plans a map-side-combined percentile whose exchange
+    carries aggregation buffers, not span rows (PLANS.md §1)."""
+    from pero_ocr_api_spark.plans.pipeline import extract
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    res = extract(
+        spark, interleaved_documents(spark, sf_smoke), persist_inference=False
+    )
+    plan = res.docs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_percentile" in plan, plan
