@@ -62,9 +62,11 @@ _DRIVER_WINDOW = [
     "cp_tpch_q3_topk_join", "cp_tpch_q18_large_orders", "cp_sm_claim",
     # lifecycle family (kept with its new siblings)
     "cp_sm_requeue", "cp_sm_expire", "cp_sm_completion",
-    # new in round 2: cancel / auth-claim / finish / suspend / download
+    # new in round 2: cancel / auth-claim / finish / suspend / download /
+    # catalog admin (add key, add engine version)
     "cp_sm_cancel", "cp_sm_claim_auth", "cp_sm_finish",
     "cp_admin_suspend", "cp_dl_validate",
+    "cp_admin_add_key", "cp_admin_add_engine",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk", "td_sim_lsh_signature", "td_sim_lsh_buckets",
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
@@ -79,8 +81,7 @@ _DRIVER_WINDOW = [
     "td_dedup_exact", "td_dedup_minhash_lsh", "td_dedup_ngram_jaccard",
     "td_dedup_simhash",
     "cp_tpch_q1_pricing", "cp_a5a6_state_engine_cube", "cp_n3_array_filter",
-    "cp_w1_latest_per_group", "cp_n1_explode", "cp_f2_url_parse",
-    "cp_o1_topk",
+    "cp_w1_latest_per_group", "cp_o1_topk",
 ]
 
 

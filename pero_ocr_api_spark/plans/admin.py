@@ -106,3 +106,108 @@ def validate_downloads(
         F.col("_verdict.code").alias("http_status"),
         F.col("_verdict.reason").alias("reason"),
     )
+
+
+def add_api_key(api_keys: DataFrame, owner: str, permission: str = "USER") -> DataFrame:
+    """Append a new API key — the batch analog of
+    ``scripts/add_new_user.py:26-30`` + ``app/db/api_key.py:11-16``.
+    The reference derives the key from 256 random bits; a deterministic
+    engine derives it from (owner, permission, current key count) via
+    the same sha256→base64→strip-padding shape (standard alphabet; the
+    reference's random altchars exist only to vary the '+/' glyphs).
+
+    The id/count aggregate runs over the api_keys user dimension —
+    rows ∝ users, not data; one tiny agg, no driver collect."""
+    new_row = api_keys.agg(F.count("*").alias("_n")).select(
+        F.concat(F.lit("k"), (F.col("_n") + 1).cast("string")).alias("key_id"),
+        F.expr(
+            "trim(TRAILING '=' FROM "
+            f"base64(unhex(sha2(concat('{owner}', ':', '{permission}', ':', _n + 1), 256))))"
+        ).alias("api_string"),
+        F.lit(owner).alias("owner"),
+        F.lit(permission).alias("permission"),
+        F.lit(False).alias("suspension"),
+    )
+    return api_keys.unionByName(new_row)
+
+
+def add_engine_version(
+    engines: DataFrame,
+    versions: DataFrame,
+    models: DataFrame,
+    links: DataFrame,
+    *,
+    engine_id: int | None = None,
+    engine_name: str | None = None,
+    engine_description: str | None = None,
+    version_name: str,
+    new_model_names: list[str],
+    version_description: str | None = None,
+) -> dict[str, DataFrame]:
+    """Catalog maintenance — the batch analog of
+    ``scripts/add_new_engine_version.py:79-118``: get-or-create the
+    engine, insert one engine_version (name defaults to a date string
+    in the reference), insert the new models, and link them through
+    the version⋈model bridge.  Returns the four updated dimensions.
+
+    Ids are assigned max+1 (the reference's autoincrement), computed
+    with single-row aggregates cross-joined in — all four dims are
+    fixed-size catalogs, so every step is broadcast-sized."""
+    if engine_id is None:
+        new_engine = engines.agg(
+            (F.coalesce(F.max("engine_id"), F.lit(0)) + 1).alias("engine_id")
+        ).select(
+            "engine_id",
+            F.lit(engine_name).alias("name"),
+            F.lit(engine_description).cast("string").alias("description"),
+        )
+        engines_out = engines.unionByName(new_engine)
+        target_engine = new_engine.select("engine_id")
+    else:
+        engines_out = engines
+        target_engine = engines.filter(
+            F.col("engine_id") == engine_id
+        ).select("engine_id")
+
+    new_version = (
+        versions.agg(
+            (F.coalesce(F.max("version_id"), F.lit(0)) + 1).alias("version_id")
+        )
+        .crossJoin(F.broadcast(target_engine))
+        .select(
+            "version_id",
+            "engine_id",
+            F.lit(version_name).alias("version"),
+            F.lit(version_description).cast("string").alias("description"),
+        )
+    )
+    versions_out = versions.unionByName(new_version)
+
+    # model ids: max + rank over the (sorted) new names — deterministic
+    names = (
+        F.posexplode(
+            F.array_sort(F.array(*[F.lit(n) for n in new_model_names]))
+        )
+    )
+    new_models = (
+        models.agg(
+            (F.coalesce(F.max("model_id"), F.lit(0))).alias("_base")
+        )
+        .select("_base", names.alias("_pos", "name"))
+        .select(
+            (F.col("_base") + F.col("_pos") + 1).alias("model_id"), "name"
+        )
+    )
+    models_out = models.unionByName(new_models)
+
+    new_links = (
+        new_version.select("version_id")
+        .crossJoin(F.broadcast(new_models.select("model_id")))
+    )
+    links_out = links.unionByName(new_links)
+    return {
+        "engines": engines_out,
+        "versions": versions_out,
+        "models": models_out,
+        "links": links_out,
+    }

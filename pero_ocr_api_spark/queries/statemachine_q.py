@@ -7,6 +7,7 @@ hash-verified like every other operator.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.admin import suspend_keys, validate_downloads
 from ..plans.statemachine import (
@@ -354,4 +355,123 @@ FROM downloads d
 LEFT JOIN requests r ON d.request_id = r.request_id
 LEFT JOIN api_keys k ON d.api_string = k.api_string
 LEFT JOIN pages p ON d.request_id = p.request_id AND d.page_name = p.page_id""",
+)
+
+
+# ---- Catalog admin analogs: add_new_user.py / add_new_engine_version.py ----
+
+from ..plans.admin import add_api_key, add_engine_version
+
+_KEY5_ROWS = [
+    ("k1", "alpha", "alice", "USER", False),
+    ("k2", "bravo", "bob", "SUPER_USER", False),
+    ("k3", "charlie", "carol", "USER", True),
+]
+_KEY5_SCHEMA = (
+    "key_id string, api_string string, owner string, "
+    "permission string, suspension boolean"
+)
+
+_ENGINE_ROWS = [(1, "pero_printed", "printed models"), (2, "pero_hand", None)]
+_VERSION_ROWS = [(1, 1, "2023-01-01", None), (2, 2, "2023-06-01", "v2")]
+_MODEL_ROWS = [(1, "layout_base"), (2, "ocr_base")]
+_LINK_ROWS = [(1, 1), (1, 2), (2, 1), (2, 2)]
+
+
+def q_add_key(spark: SparkSession, sf: str) -> DataFrame:
+    keys = spark.createDataFrame(_KEY5_ROWS, _KEY5_SCHEMA)
+    return add_api_key(keys, "dora", "USER")
+
+
+REGISTRY["cp_admin_add_key"] = (
+    q_add_key,
+    f"""WITH keys5(key_id, api_string, owner, permission, suspension) AS (
+  VALUES
+    {_sql_values(_KEY5_ROWS)}
+)
+SELECT * FROM keys5
+UNION ALL
+SELECT 'k4',
+       rtrim(to_base64(unhex(sha256('dora:USER:4'))), '='),
+       'dora', 'USER', FALSE""",
+)
+
+
+def q_add_engine(spark: SparkSession, sf: str) -> DataFrame:
+    engines = spark.createDataFrame(
+        _ENGINE_ROWS, "engine_id int, name string, description string"
+    )
+    versions = spark.createDataFrame(
+        _VERSION_ROWS,
+        "version_id int, engine_id int, version string, description string",
+    )
+    models = spark.createDataFrame(_MODEL_ROWS, "model_id int, name string")
+    links = spark.createDataFrame(_LINK_ROWS, "version_id int, model_id int")
+    dims = add_engine_version(
+        engines, versions, models, links,
+        engine_name="great_ocr",
+        version_name="2024-02-01",
+        new_model_names=["ocr_great", "layout_great"],
+    )
+    return (
+        dims["links"]
+        .join(dims["versions"].select("version_id", "engine_id", "version"), "version_id")
+        .join(
+            dims["engines"].select(
+                "engine_id", F.col("name").alias("engine_name")
+            ),
+            "engine_id",
+        )
+        .join(
+            dims["models"].select(
+                "model_id", F.col("name").alias("model_name")
+            ),
+            "model_id",
+        )
+        .select("engine_id", "engine_name", "version", "model_name")
+    )
+
+
+REGISTRY["cp_admin_add_engine"] = (
+    q_add_engine,
+    f"""WITH engines(engine_id, name, description) AS (
+  VALUES {_sql_values(_ENGINE_ROWS)}
+),
+versions(version_id, engine_id, version, description) AS (
+  VALUES {_sql_values(_VERSION_ROWS)}
+),
+models(model_id, name) AS (
+  VALUES {_sql_values(_MODEL_ROWS)}
+),
+links(version_id, model_id) AS (
+  VALUES {_sql_values(_LINK_ROWS)}
+),
+new_engine AS (
+  SELECT (SELECT max(engine_id) + 1 FROM engines) AS engine_id,
+         'great_ocr' AS name, NULL AS description
+),
+all_engines AS (SELECT * FROM engines UNION ALL SELECT * FROM new_engine),
+new_version AS (
+  SELECT (SELECT max(version_id) + 1 FROM versions) AS version_id,
+         (SELECT engine_id FROM new_engine) AS engine_id,
+         '2024-02-01' AS version, NULL AS description
+),
+all_versions AS (SELECT * FROM versions UNION ALL SELECT * FROM new_version),
+new_models AS (
+  SELECT (SELECT max(model_id) FROM models)
+           + row_number() OVER (ORDER BY name) AS model_id,
+         name
+  FROM (VALUES ('ocr_great'), ('layout_great')) AS t(name)
+),
+all_models AS (SELECT * FROM models UNION ALL SELECT * FROM new_models),
+all_links AS (
+  SELECT * FROM links
+  UNION ALL
+  SELECT v.version_id, m.model_id FROM new_version v CROSS JOIN new_models m
+)
+SELECT e.engine_id, e.name AS engine_name, v.version, m.name AS model_name
+FROM all_links l
+JOIN all_versions v USING (version_id)
+JOIN all_engines e USING (engine_id)
+JOIN all_models m USING (model_id)""",
 )

@@ -251,3 +251,28 @@ def test_suspend_keys_allowlist_semantics(spark):
         r.api_string: r.suspension for r in suspend_keys(keys, None).collect()
     }
     assert none_given == {"alpha": False, "bravo": False, "charlie": False}
+
+
+def test_add_engine_version_existing_engine(spark):
+    """The -e path of add_new_engine_version.py:96-99: attach a new
+    version (+models) to an existing engine; no engine row is added."""
+    from pero_ocr_api_spark.plans.admin import add_engine_version
+
+    engines = spark.createDataFrame(
+        [(1, "pero_printed", None)], "engine_id int, name string, description string"
+    )
+    versions = spark.createDataFrame(
+        [(1, 1, "2023-01-01", None)],
+        "version_id int, engine_id int, version string, description string",
+    )
+    models = spark.createDataFrame([(1, "ocr_base")], "model_id int, name string")
+    links = spark.createDataFrame([(1, 1)], "version_id int, model_id int")
+    dims = add_engine_version(
+        engines, versions, models, links,
+        engine_id=1, version_name="2024-02-01", new_model_names=["ocr_v2"],
+    )
+    assert dims["engines"].count() == 1
+    vrows = {r.version: r for r in dims["versions"].collect()}
+    assert vrows["2024-02-01"].engine_id == 1 and vrows["2024-02-01"].version_id == 2
+    assert {r.name for r in dims["models"].collect()} == {"ocr_base", "ocr_v2"}
+    assert (2, 2) in {(r.version_id, r.model_id) for r in dims["links"].collect()}
