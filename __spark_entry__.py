@@ -19,6 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pero_ocr_api_spark.queries import extraction as _qx
 from pero_ocr_api_spark.queries import extraction_sql as _sx
 from pero_ocr_api_spark.functions.dedup import REGISTRY as _DEDUP
+from pero_ocr_api_spark.functions.maincontent import REGISTRY as _MC
 from pero_ocr_api_spark.functions.similarity import REGISTRY as _SIM
 from pero_ocr_api_spark.functions.text import REGISTRY as _TEXT
 from pero_ocr_api_spark.queries.controlplane import REGISTRY as _CP
@@ -67,6 +68,8 @@ _DRIVER_WINDOW = [
     "cp_sm_cancel", "cp_sm_claim_auth", "cp_sm_finish",
     "cp_admin_suspend", "cp_dl_validate",
     "cp_admin_add_key", "cp_admin_add_engine",
+    # new in round 2: jusText-style main-content extraction
+    "td_mc_blocks", "td_mc_extract",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk", "td_sim_lsh_signature", "td_sim_lsh_buckets",
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
@@ -80,8 +83,7 @@ _DRIVER_WINDOW = [
     "td_text_fingerprint",
     "td_dedup_exact", "td_dedup_minhash_lsh", "td_dedup_ngram_jaccard",
     "td_dedup_simhash",
-    "cp_tpch_q1_pricing", "cp_a5a6_state_engine_cube", "cp_n3_array_filter",
-    "cp_w1_latest_per_group", "cp_o1_topk",
+    "cp_n3_array_filter", "cp_w1_latest_per_group", "cp_o1_topk",
 ]
 
 
@@ -90,6 +92,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(_CP)
     reg.update(_SM)
     reg.update(_TEXT)
+    reg.update(_MC)
     reg.update(_DEDUP)
     reg.update(_SIM)
     reg.update(_MM)

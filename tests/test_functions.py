@@ -111,3 +111,41 @@ def test_ann_recall_vs_bruteforce(spark, sf_smoke):
     # every ANN neighbor must at least be a real vector, never the query
     for q, ns in {**ivf, **lsh}.items():
         assert q not in ns
+
+
+def test_main_content_classifier_edges(spark):
+    """jusText-style classifier edge semantics on a hand-built doc:
+    URL-heavy blocks are 'bad' regardless of stopwords; a short block
+    neighboring a good one is promoted; an isolated near-good block is
+    demoted; content joins good blocks in block order."""
+    from pero_ocr_api_spark.functions.maincontent import (
+        classify_blocks, main_content,
+    )
+
+    sw = "the a of and to"                     # 5 stopwords
+    good = (sw + " x y z w v u q r s p")       # 15 toks, ratio 0.33 → good
+    linky = " ".join(["https://x.example"] * 10 + [sw])  # 15 toks, lk 0.67 → bad
+    filler = " ".join(f"tok{i}" for i in range(15))      # ratio 0 → near_good
+    docs = spark.createDataFrame(
+        [
+            # doc A: good + short tail (promoted via neighbor)
+            ("A", good + " tail"),
+            # doc B: linky then filler (near_good, no good neighbor → bad)
+            ("B", linky + " " + filler),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        (r.doc_id, r.block_idx): r for r in classify_blocks(docs).collect()
+    }
+    assert rows[("A", 0)].cf_class == "good"
+    assert rows[("A", 1)].cf_class == "short"
+    assert rows[("A", 1)].final_class == "good"     # promoted by neighbor
+    assert rows[("B", 0)].cf_class == "bad"         # link density 0.67
+    assert rows[("B", 0)].link_density > 0.2
+    assert rows[("B", 1)].cf_class == "near_good"
+    assert rows[("B", 1)].final_class == "bad"      # no good neighbor
+    out = {r.doc_id: r for r in main_content(docs).collect()}
+    assert out["A"].content == good + " tail"       # order preserved
+    assert out["A"].n_good == 2 and out["A"].n_blocks == 2
+    assert out["B"].content == "" and out["B"].n_good == 0
