@@ -23,6 +23,7 @@ from pero_ocr_api_spark.plans.pipeline import extract
 from pero_ocr_api_spark.queries.controlplane import REGISTRY as CP
 from pero_ocr_api_spark.functions.dedup import REGISTRY as DEDUP
 from pero_ocr_api_spark.functions.similarity import REGISTRY as SIM
+from pero_ocr_api_spark.functions.maincontent import REGISTRY as MC
 from pero_ocr_api_spark.functions.text import REGISTRY as TEXT
 from pero_ocr_api_spark.session import get_spark
 from pero_ocr_api_spark.synth import interleaved_documents
@@ -110,6 +111,7 @@ def main() -> None:
         "td_dedup_simhash": DEDUP["td_dedup_simhash"][0],
         "td_sim_topk": SIM["td_sim_bruteforce_topk"][0],
         "td_text_quality": TEXT["td_text_quality"][0],
+        "td_mc_extract": MC["td_mc_extract"][0],
     }
     for name, fn in others.items():
         t = time.monotonic()
