@@ -99,3 +99,84 @@ def test_random_documents_match_oracle(spark, rows):
     for doc_id, (spans_out, score, status) in exp.items():
         assert got_spans.get(doc_id, []) == spans_out, doc_id
         assert got_docs[doc_id] == (score, status), doc_id
+
+
+# ---- main-content classifier vs an independent pure-Python oracle ----
+
+_vocab = ["the", "a", "of", "to", "and", "tok", "alpha", "beta", "x9",
+          "https://ex.am/p", "data", "row", ""]
+
+
+def _py_main_content(text: str):
+    """Independent reimplementation of functions/maincontent.py
+    semantics (jusText-style) in plain Python."""
+    from pero_ocr_api_spark.constants import STOPWORDS
+    from pero_ocr_api_spark.functions.maincontent import (
+        BLOCK_TOKENS, LINK_DENSITY_BAD, MIN_BLOCK_TOKENS, STOPWORD_GOOD,
+    )
+
+    toks = [t for t in text.split(" ") if t != ""]
+    if not toks:
+        return None
+    blocks = [
+        toks[i: i + BLOCK_TOKENS] for i in range(0, len(toks), BLOCK_TOKENS)
+    ]
+    cf = []
+    for b in blocks:
+        n = len(b)
+        sw = sum(1 for t in b if t in STOPWORDS)
+        lk = sum(1 for t in b if t.startswith(("http://", "https://")))
+        if lk / n > LINK_DENSITY_BAD:
+            cf.append("bad")
+        elif n < MIN_BLOCK_TOKENS:
+            cf.append("short")
+        elif sw / n >= STOPWORD_GOOD:
+            cf.append("good")
+        else:
+            cf.append("near_good")
+    final = []
+    for i, c in enumerate(cf):
+        if c in ("good", "bad"):
+            final.append(c)
+        else:
+            prev_good = i > 0 and cf[i - 1] == "good"
+            next_good = i + 1 < len(cf) and cf[i + 1] == "good"
+            final.append("good" if prev_good or next_good else "bad")
+    content = " ".join(
+        " ".join(b) for b, c in zip(blocks, final) if c == "good"
+    )
+    return {"content": content,
+            "n_good": sum(1 for c in final if c == "good"),
+            "n_blocks": len(blocks)}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_vocab), min_size=0, max_size=80).map(
+            " ".join
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(
+    max_examples=int(__import__("os").environ.get("PROPERTY_MAX_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_main_content_matches_python_oracle(spark, docs):
+    from pero_ocr_api_spark.functions.maincontent import main_content
+
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(docs)],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in main_content(df).collect()}
+    for i, text in enumerate(docs):
+        expect = _py_main_content(text)
+        rid = f"d{i}"
+        if expect is None:
+            assert rid not in got          # empty docs are filtered out
+            continue
+        assert got[rid].content == expect["content"], (text,)
+        assert got[rid].n_good == expect["n_good"]
+        assert got[rid].n_blocks == expect["n_blocks"]
