@@ -43,6 +43,7 @@ _EXTRACTION_QUERIES = {
     "extract_serialize_page": (
         _qx.q_serialize_artifacts, _sx.SQL_SERIALIZE_ARTIFACTS),
     "extract_conf_histogram": (_qx.q_conf_histogram, _sx.SQL_CONF_HISTOGRAM),
+    "extract_regions": (_qx.q_regions, _sx.SQL_REGIONS),
 }
 
 
@@ -57,7 +58,7 @@ _EXTRACTION_QUERIES = {
 _DRIVER_WINDOW = [
     # flagship extraction plane
     "extract_input_spans", "extract_pipeline_spans", "extract_doc_results",
-    "extract_serialize_txt", "extract_conf_histogram",
+    "extract_serialize_txt", "extract_conf_histogram", "extract_regions",
     # changed in round 2 (oracle dtype fix / broadcast & claim re-plan)
     "cp_f9_json_extract", "cp_j1_three_way_join", "cp_a6_group_by_dim",
     "cp_tpch_q3_topk_join", "cp_tpch_q18_large_orders", "cp_sm_claim",
@@ -83,7 +84,7 @@ _DRIVER_WINDOW = [
     "td_text_fingerprint",
     "td_dedup_exact", "td_dedup_minhash_lsh", "td_dedup_ngram_jaccard",
     "td_dedup_simhash",
-    "cp_n3_array_filter", "cp_w1_latest_per_group", "cp_o1_topk",
+    "cp_w1_latest_per_group", "cp_o1_topk",
 ]
 
 

@@ -71,3 +71,13 @@ def q_conf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_spans"),
         F.round(F.round(F.sum("conf"), 4) / F.count("conf"), 6).alias("avg_conf"),
     )
+
+
+def q_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-region segmentation over the interleaved input
+    (operators/layout.py) — PageParser's region-detection analog."""
+    from ..operators.layout import region_summary
+
+    return region_summary(
+        exploded_spans(spark, sf_dir).select("doc_id", "offset", "kind")
+    )

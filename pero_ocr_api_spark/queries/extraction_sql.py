@@ -204,3 +204,22 @@ SELECT doc_id,
        txt
 FROM page_lines
 """
+
+
+SQL_REGIONS = f"""WITH {SQL_EXPLODED_SPANS_CTE.strip()},
+b AS (
+  SELECT doc_id, "offset", kind,
+         CASE WHEN lag("offset") OVER w IS NULL
+                   OR "offset" - lag("offset") OVER w > 1
+                   OR kind <> lag(kind) OVER w
+              THEN 1 ELSE 0 END AS nb
+  FROM spans WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")),
+r AS (
+  SELECT doc_id, kind, "offset",
+         CAST(sum(nb) OVER (PARTITION BY doc_id ORDER BY "offset") - 1
+              AS INT) AS region_id
+  FROM b)
+SELECT doc_id, region_id, min(kind) AS region_kind, count(*) AS n_spans,
+       min("offset") AS start_offset, max("offset") AS end_offset
+FROM r GROUP BY doc_id, region_id
+"""

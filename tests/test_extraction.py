@@ -261,3 +261,41 @@ def test_docs_plan_prunes_window(spark, sf_smoke):
     plan = res.docs._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "partial_percentile" in plan, plan
+
+
+def test_region_segmentation_gap_and_kind_boundaries(spark):
+    """Layout regions split on kind changes AND offset gaps; ids are
+    0-based in offset order; regions are homogeneous."""
+    from pero_ocr_api_spark.operators.layout import (
+        region_summary, segment_regions,
+    )
+
+    spans = spark.createDataFrame(
+        [
+            ("d1", 0, "text"), ("d1", 1, "text"),     # region 0
+            ("d1", 2, "media"),                        # region 1 (kind flip)
+            ("d1", 3, "text"),                         # region 2
+            ("d1", 10, "text"),                        # region 3 (gap > 1)
+            ("d2", 5, "media"),                        # region 0 (per-doc ids)
+        ],
+        "doc_id string, offset int, kind string",
+    )
+    ids = {
+        (r.doc_id, r.offset): r.region_id
+        for r in segment_regions(spans).collect()
+    }
+    assert ids == {("d1", 0): 0, ("d1", 1): 0, ("d1", 2): 1,
+                   ("d1", 3): 2, ("d1", 10): 3, ("d2", 5): 0}
+    summ = {
+        (r.doc_id, r.region_id): r for r in region_summary(spans).collect()
+    }
+    assert summ[("d1", 0)].n_spans == 2
+    assert summ[("d1", 0)].region_kind == "text"
+    assert summ[("d1", 3)].start_offset == 10 and summ[("d1", 3)].end_offset == 10
+    # wider gap tolerance merges the gap split but never the kind split
+    wide = {
+        (r.doc_id, r.offset): r.region_id
+        for r in segment_regions(spans, gap=20).collect()
+    }
+    assert wide[("d1", 3)] == wide[("d1", 10)] == 2
+    assert wide[("d1", 2)] == 1
