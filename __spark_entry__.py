@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pero_ocr_api_spark.queries import extraction as _qx
 from pero_ocr_api_spark.queries import extraction_sql as _sx
+from pero_ocr_api_spark.functions.cluster import REGISTRY as _CLUSTER
 from pero_ocr_api_spark.functions.dedup import REGISTRY as _DEDUP
 from pero_ocr_api_spark.functions.maincontent import REGISTRY as _MC
 from pero_ocr_api_spark.functions.similarity import REGISTRY as _SIM
@@ -69,8 +70,8 @@ _DRIVER_WINDOW = [
     "cp_sm_cancel", "cp_sm_claim_auth", "cp_sm_finish",
     "cp_admin_suspend", "cp_dl_validate",
     "cp_admin_add_key", "cp_admin_add_engine",
-    # new in round 2: jusText-style main-content extraction
-    "td_mc_blocks", "td_mc_extract",
+    # new in round 2: jusText-style main-content extraction + dup clusters
+    "td_mc_blocks", "td_mc_extract", "td_dedup_clusters",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk", "td_sim_lsh_signature", "td_sim_lsh_buckets",
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
@@ -84,7 +85,7 @@ _DRIVER_WINDOW = [
     "td_text_fingerprint",
     "td_dedup_exact", "td_dedup_minhash_lsh", "td_dedup_ngram_jaccard",
     "td_dedup_simhash",
-    "cp_w1_latest_per_group", "cp_o1_topk",
+    "cp_o1_topk",
 ]
 
 
@@ -95,6 +96,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(_TEXT)
     reg.update(_MC)
     reg.update(_DEDUP)
+    reg.update(_CLUSTER)
     reg.update(_SIM)
     reg.update(_MM)
     reg.update(_SQL)

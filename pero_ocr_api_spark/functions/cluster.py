@@ -1,0 +1,96 @@
+"""Duplicate-cluster assignment — connected components over near-dup
+pairs, so a pipeline can keep one canonical document per duplicate
+group (the step after pair generation in every dedup recipe).
+
+Spark side: iterative min-label propagation (the Pregel/GraphX
+connected-components recurrence) — each iteration is one distributed
+join + aggregate; the driver loop only checks the converged flag
+(a scalar count), never touches row data.  ``localCheckpoint`` after
+each iteration truncates lineage so plans don't grow with iteration
+count (on a cluster, ``spark.sparkContext.setCheckpointDir`` +
+``checkpoint()`` is the durable variant).  Convergence needs
+O(component diameter) iterations; near-dup components are shallow
+(dozens of docs), so this is a handful of rounds even at 100 TB.
+
+Oracle: a DuckDB ``WITH RECURSIVE`` reachability closure over the SAME
+pair SQL (functions/dedup.NGRAM_JACCARD_SQL) — min reachable id per
+node — proving the iterative Spark fixpoint equals the declarative
+transitive closure.  This is the one genuinely iterative algorithm in
+the library, and it still carries a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import make_registry
+from .dedup import NGRAM_JACCARD_SQL, q_ngram_jaccard
+
+REGISTRY, _reg = make_registry()
+
+MAX_CC_ITERATIONS = 25
+
+
+def connected_components(pairs: DataFrame, max_iter: int = MAX_CC_ITERATIONS) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
+    cluster_id is the lexicographic min doc_id of the component.
+    Only documents that appear in a pair are returned (every other doc
+    is trivially its own singleton cluster)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@_reg(
+    "td_dedup_clusters",
+    f"""WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id""",
+)
+def q_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = q_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    return connected_components(pairs)

@@ -194,9 +194,7 @@ REGISTRY["td_dedup_minhash_lsh"] = (q_minhash, _minhash_sql())
 
 
 # ------------------------------------------------- n-gram Jaccard (direct)
-@_reg(
-    "td_dedup_ngram_jaccard",
-    f"""WITH {_SQL_SHINGLES.strip()},
+NGRAM_JACCARD_SQL = f"""WITH {_SQL_SHINGLES.strip()},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 rare AS (
   SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) t
@@ -217,8 +215,10 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE round(i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE), 6) >= 0.3
-""",
-)
+"""
+
+
+@_reg("td_dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Document-frequency-bounded candidate generation: only shingles
     with 2 <= df <= 10 generate candidate pairs (the classic rare-token

@@ -149,3 +149,19 @@ def test_main_content_classifier_edges(spark):
     assert out["A"].content == good + " tail"       # order preserved
     assert out["A"].n_good == 2 and out["A"].n_blocks == 2
     assert out["B"].content == "" and out["B"].n_good == 0
+
+
+def test_connected_components_chain_triangle_singleton_pair(spark):
+    """Min-label propagation fixpoint: a 3-chain, a triangle, and an
+    isolated pair each collapse to their lexicographic-min doc id."""
+    from pero_ocr_api_spark.functions.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z"),
+         ("q", "r")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x",
+                   "q": "q", "r": "q"}
