@@ -94,3 +94,54 @@ SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id""",
 def q_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pairs = q_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+@_reg(
+    "td_dedup_canonical",
+    f"""WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+clusters AS (
+  SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS canonical_doc, n_chars AS kept_chars, n_members
+FROM ranked WHERE rn = 1""",
+)
+def q_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster: keep the
+    longest member (ties → lexicographic-min doc_id) — the compaction
+    step that turns dup pairs into a deduplicated corpus.  One
+    cluster-partitioned window over the (tiny) clustered-doc set."""
+    from pyspark.sql import Window
+
+    from ..session import load_table
+
+    clusters = q_clusters(spark, sf)
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").alias("kept_chars"),
+            "n_members",
+        )
+    )

@@ -348,3 +348,63 @@ SELECT q_id, rank, n_id, cosine FROM (
 
 
 REGISTRY["td_sim_ivf_topk"] = (q_ivf_topk, _ivf_sql())
+
+
+# --------------------------------------------- int8 symmetric quantization
+@_reg(
+    "td_emb_quantize",
+    """WITH t AS (
+  SELECT vec_id,
+         embedding,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS scale
+  FROM embeddings)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       array_to_string(
+         list_transform(
+           embedding,
+           x -> CAST(floor(round((CAST(x AS DOUBLE) / scale) * 127.0, 3)
+                           + 0.5) AS INT)),
+         ',') AS q8
+FROM t WHERE scale > 0""",
+)
+def q_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage/shuffle reduction step before ANN indexing at corpus scale.
+    Per-vector max-abs scale; codes are floor(round(v/scale*127, 3)
+    + 0.5): the 3-decimal snap before the floor absorbs engine-level
+    ulp differences (the synthetic vectors sit exactly on half-code
+    boundaries, where a bare floor(y+0.5) flipped between engines —
+    same trap class as the round-before-divide float-avg rule).  The
+    code string is the full
+    vector, so the hash gate verifies every component of every vector.
+    All JVM-side higher-order functions; one narrow projection, no
+    shuffle at all."""
+    emb = load_table(spark, sf, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    t = emb.select("vec_id", "embedding", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    q8 = F.concat_ws(
+        ",",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                F.round((x.cast("double") / F.col("scale")) * 127.0, 3) + 0.5
+            )
+            .cast("int")
+            .cast("string"),
+        ),
+    )
+    # q8 is materialized BEFORE the select that aliases round(scale, 6)
+    # back to the name "scale": Spark 4's lateral-column-alias
+    # resolution would otherwise bind the lambda's `scale` to the
+    # sibling ROUNDED alias, silently quantizing against the wrong
+    # scale (caught by the oracle: one code flipped at a .5005
+    # boundary).
+    return t.withColumn("q8", q8).select(
+        "vec_id", F.round("scale", 6).alias("scale"), "q8"
+    )

@@ -137,3 +137,28 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             F.lower(F.trim(F.regexp_replace("text", WS_CLASS + "+", " ")))
         ).alias("fp"),
     )
+
+
+# ---- corpus vocabulary: global token counts, deterministic top-k ----
+@_reg(
+    "td_text_vocab",
+    """WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents)
+SELECT token, count(*) AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 100""",
+)
+def q_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary head: global token counts, top-100 by count
+    (total order via the token tie-break, so the LIMIT boundary is
+    deterministic in both engines).  explode → partial-agg combine →
+    one count shuffle → distributed top-k (TakeOrderedAndProject)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
