@@ -162,3 +162,89 @@ def q_vocab(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(100)
     )
+
+
+# ---- corpus curation: C4-style quality gate + deterministic split ----
+@_reg(
+    "td_corpus_filter",
+    f"""WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         round(len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS stopword_ratio,
+         round(n_chars / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS chars_per_token
+  FROM t)
+SELECT doc_id, n_tokens, stopword_ratio, chars_per_token,
+       (n_tokens >= 10 AND n_tokens <= 1000
+        AND stopword_ratio >= 0.01 AND chars_per_token <= 12.0) AS keep
+FROM f""",
+)
+def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style document quality gate: length band, minimum stopword
+    ratio (gibberish guard), maximum chars/token (no-space-blob guard).
+    Emits the per-doc verdict with its features so downstream curation
+    can audit WHY a doc was dropped — pure codegen, no shuffle."""
+    docs = load_table(spark, sf, "documents")
+    toks = tokens_col()
+    t = docs.select("doc_id", "n_chars", toks.alias("toks"))
+    n = F.greatest(F.size("toks"), F.lit(1))
+    sw = F.size(
+        F.filter(
+            "toks",
+            lambda t_: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS]), t_),
+        )
+    )
+    swr = F.round(sw / n.cast("double"), 6)
+    cpt = F.round(F.col("n_chars") / n.cast("double"), 6)
+    nt = F.size("toks")
+    return t.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        swr.alias("stopword_ratio"),
+        cpt.alias("chars_per_token"),
+        (
+            (nt >= 10) & (nt <= 1000) & (swr >= 0.01) & (cpt <= 12.0)
+        ).alias("keep"),
+    )
+
+
+_A1 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))"
+_A2 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))"
+
+
+@_reg(
+    "td_corpus_split",
+    f"""WITH t AS (
+  SELECT doc_id,
+         ({_A1} - CASE WHEN {_A1} >= 97 THEN 87 ELSE 48 END) * 16
+         + ({_A2} - CASE WHEN {_A2} >= 97 THEN 87 ELSE 48 END) AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 205 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM t""",
+)
+def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment from a content-stable
+    hash of doc_id: the first md5 byte (two hex nibbles decoded by
+    ascii arithmetic — engine-portable, no conv()) gives a uniform
+    0-255 bucket split 205/25/26 ≈ 80/10/10.  Reproducible across
+    engines, runs, and cluster sizes; no RNG, no shuffle."""
+    docs = load_table(spark, sf, "documents")
+
+    def nibble(pos: int):
+        a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1))
+        return a - F.when(a >= 97, 87).otherwise(48)
+
+    bucket = nibble(1) * 16 + nibble(2)
+    split = (
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
