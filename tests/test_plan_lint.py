@@ -1,0 +1,38 @@
+"""Repo-wide physical-plan lint: every registered query's plan is
+checked for the scale anti-patterns PLANS.md promises are absent —
+so a future edit can't quietly reintroduce one (the per-query version
+of the targeted plan pins in test_statemachine / test_extraction).
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+# Iterative queries run eagerly at plan-build time (localCheckpoint
+# loop); their components are linted via their own tests instead.
+_EAGER = {"td_dedup_clusters", "td_dedup_canonical"}
+
+# BroadcastNestedLoopJoin is only acceptable when one side is a
+# provably tiny relation (a single-row aggregate or a fixed candidate
+# list crossed in deliberately).
+_BNLJ_OK = {
+    "cp_admin_add_engine",   # 1-row max-id aggregates crossed into inserts
+    "td_sim_ivf_topk",       # centroid seed rows crossed for assignment
+    "td_sim_bruteforce_topk",  # fixed 5-row query set vs corpus (baseline op)
+}
+
+_QUERIES = [
+    (n, fn) for n, fn in entry_mod.queries().items() if n not in _EAGER
+]
+
+
+@pytest.mark.parametrize("name,fn", _QUERIES, ids=[q[0] for q in _QUERIES])
+def test_plan_has_no_scale_antipatterns(spark, sf_smoke, name, fn):
+    plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    # BatchEvalPython = row-at-a-time (non-Arrow) Python UDF
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join outside the tiny-relation whitelist"
+        )
