@@ -74,6 +74,7 @@ _DRIVER_WINDOW = [
     "td_mc_blocks", "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical", "td_emb_quantize", "td_text_vocab",
     "td_corpus_filter", "td_corpus_split",
+    "td_text_repetition", "td_pack_sequences",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk", "td_sim_lsh_signature", "td_sim_lsh_buckets",
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
@@ -82,9 +83,8 @@ _DRIVER_WINDOW = [
     "cp_sql_a5_counts_24h", "cp_sql_a1_a3_request_status",
     "cp_sql_j6_rank_fallback", "cp_sql_a5a6_cube",
     "cp_sql_tpch_q5_region_volume",
-    # one representative per remaining operator family
-    "td_text_langid",
-    "td_dedup_minhash_lsh", "td_dedup_ngram_jaccard", "td_dedup_simhash",
+    # representatives / changed-this-round dedup family
+    "td_dedup_minhash_lsh", "td_dedup_ngram_jaccard",
 ]
 
 

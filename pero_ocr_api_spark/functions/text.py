@@ -8,7 +8,7 @@ Registry entries follow the controlplane (fn, sql) convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import STOPWORDS, WS_CLASS
@@ -248,3 +248,115 @@ def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+# ---- repetition metrics (Gopher-style quality signals) ----
+@_reg(
+    "td_text_repetition",
+    """WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         [array_to_string(list_slice(toks, i, i + 1), ' ')
+          for i in range(1, len(toks))] AS g2,
+         [array_to_string(list_slice(toks, i, i + 2), ' ')
+          for i in range(1, len(toks) - 1)] AS g3
+  FROM t WHERE len(toks) >= 3)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+         AS dup_token_frac,
+       round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+         AS dup_2gram_frac,
+       round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+         AS dup_3gram_frac
+FROM g""",
+)
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher repetition-filter
+    family): duplicate fraction of tokens, 2-grams, and 3-grams —
+    1 - distinct/total per doc.  Highly repetitive documents are a
+    standard training-data exclusion signal.  Entirely per-row
+    higher-order functions (transform/array_distinct): zero shuffle,
+    zero Python."""
+    docs = load_table(spark, sf, "documents")
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+
+    def grams(n: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        )
+
+    def dup_frac(col):
+        return F.round(
+            1.0 - F.size(F.array_distinct(col)) / F.size(col).cast("double"), 6
+        )
+
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        dup_frac(F.col("toks")).alias("dup_token_frac"),
+        dup_frac(grams(2)).alias("dup_2gram_frac"),
+        dup_frac(grams(3)).alias("dup_3gram_frac"),
+    )
+
+
+# ---- sequence packing: bin assignment for training-batch assembly ----
+PACK_CAPACITY = 2048
+PACK_GROUPS = 64
+
+
+@_reg(
+    "td_pack_sequences",
+    f"""WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) AS INT)
+           % {PACK_GROUPS} AS pack_group
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens, pack_group,
+         sum(n_tokens) OVER (PARTITION BY pack_group
+                             ORDER BY n_tokens DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS run
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, pack_group, n_tokens,
+       CAST(floor((run - n_tokens) / {PACK_CAPACITY}.0) AS INT) AS bin_id
+FROM s""",
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing for training-batch assembly: documents
+    are hash-split into {PACK_GROUPS} independent pack groups (so the
+    running-sum window is PARTITIONED — never a global single-task
+    sort), ordered longest-first within each group, and assigned
+    bin_id = floor(preceding_tokens / capacity).  A bin can overflow
+    capacity by at most one document (next-fit-decreasing bound);
+    grouping keeps the operator scale-free while the assignment stays
+    fully deterministic."""
+    docs = load_table(spark, sf, "documents")
+    n = F.size(tokens_col())
+    group = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1))
+        % PACK_GROUPS
+    )
+    t = docs.select(
+        "doc_id", n.alias("n_tokens"), group.alias("pack_group")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        F.floor((run - F.col("n_tokens")) / float(PACK_CAPACITY))
+        .cast("int")
+        .alias("bin_id"),
+    )
