@@ -64,7 +64,7 @@ _DRIVER_WINDOW = [
     "cp_f9_json_extract", "cp_j1_three_way_join", "cp_a6_group_by_dim",
     "cp_tpch_q3_topk_join", "cp_tpch_q18_large_orders", "cp_sm_claim",
     # lifecycle family (kept with its new siblings)
-    "cp_sm_requeue", "cp_sm_expire", "cp_sm_completion",
+    "cp_sm_expire", "cp_sm_completion",
     # new in round 2: cancel / auth-claim / finish / suspend / download /
     # catalog admin (add key, add engine version)
     "cp_sm_cancel", "cp_sm_claim_auth", "cp_sm_finish",
@@ -83,8 +83,9 @@ _DRIVER_WINDOW = [
     "cp_sql_a5_counts_24h", "cp_sql_a1_a3_request_status",
     "cp_sql_j6_rank_fallback", "cp_sql_a5a6_cube",
     "cp_sql_tpch_q5_region_volume",
-    # representatives / changed-this-round dedup family
-    "td_dedup_minhash_lsh", "td_dedup_ngram_jaccard",
+    "cp_sql_exists_late_ship", "cp_sql_corr_max_order",
+    # changed-this-round dedup family (shingle blocking rewrite)
+    "td_dedup_ngram_jaccard",
 ]
 
 

@@ -54,3 +54,33 @@ def _sparksql_runner(sql: str):
 for _name, _src in _PORTABLE:
     _sql = _CP[_src][1]
     REGISTRY[_name] = (_sparksql_runner(_sql), _sql)
+
+
+# Correlated-subquery shapes, defined directly as dual-dialect SQL:
+# these exercise Catalyst's subquery decorrelation (rewrite to
+# joins/aggregates) on the SAME literal text DuckDB runs.
+_CORRELATED = {
+    # TPC-H Q4 shape: EXISTS correlated on the outer key plus an outer
+    # column in the inner predicate (late-shipping lineitems).
+    "cp_sql_exists_late_ship": """
+SELECT o.o_orderpriority AS priority, count(*) AS n
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority""",
+    # Correlated scalar subquery: each customer's maximal order(s).
+    # max() equality compares identical stored doubles — no arithmetic,
+    # no rounding boundary.
+    "cp_sql_corr_max_order": """
+SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+       o.o_totalprice AS totalprice
+FROM orders o
+WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                        WHERE o2.o_custkey = o.o_custkey)""",
+}
+
+for _name, _sql in _CORRELATED.items():
+    REGISTRY[_name] = (_sparksql_runner(_sql), _sql)
