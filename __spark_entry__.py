@@ -21,6 +21,7 @@ from pero_ocr_api_spark.queries import extraction_sql as _sx
 from pero_ocr_api_spark.functions.cluster import REGISTRY as _CLUSTER
 from pero_ocr_api_spark.functions.dedup import REGISTRY as _DEDUP
 from pero_ocr_api_spark.functions.maincontent import REGISTRY as _MC
+from pero_ocr_api_spark.functions.sketches import REGISTRY as _SKETCH
 from pero_ocr_api_spark.functions.similarity import REGISTRY as _SIM
 from pero_ocr_api_spark.functions.text import REGISTRY as _TEXT
 from pero_ocr_api_spark.queries.controlplane import REGISTRY as _CP
@@ -97,6 +98,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(_MC)
     reg.update(_DEDUP)
     reg.update(_CLUSTER)
+    reg.update(_SKETCH)
     reg.update(_SIM)
     reg.update(_MM)
     reg.update(_SQL)

@@ -1,0 +1,67 @@
+"""Sketch-based profiling operators — the approximate aggregates a
+100 TB corpus is actually profiled with, using Spark's JVM-native
+sketches: HyperLogLog++ (``approx_count_distinct``) and the
+Greenwald-Khanna quantile sketch (``percentile_approx``).
+
+These are registered WITHOUT SQL oracles (sql=None → the driver's
+rows-only check): DuckDB's approximate implementations are different
+sketches, so cross-engine hashes cannot match by construction.
+Instead each query carries its own EXACT twin columns computed in the
+same Spark job, and ``tests/test_functions.py`` asserts the sketch
+error against them (≤5% distinct-count error, quantile within the
+rank guarantee) — accuracy-verified, not just runs-without-error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import make_registry
+from ..session import load_table
+from .text import tokens_col
+
+REGISTRY, _reg = make_registry()
+
+
+@_reg("td_sketch_distinct", None)
+def q_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language vocabulary size: HLL++ estimate next to the exact
+    distinct count and the relative error.  At corpus scale the exact
+    variant is a full shuffle of every distinct token; the sketch is a
+    fixed-size mergeable state per partition."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(tokens_col()).alias("token"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.approx_count_distinct("token", rsd=0.02).alias("approx_vocab"),
+            F.count_distinct("token").alias("exact_vocab"),
+        )
+        .select(
+            "lang",
+            "approx_vocab",
+            "exact_vocab",
+            F.round(
+                F.abs(F.col("approx_vocab") - F.col("exact_vocab"))
+                / F.col("exact_vocab").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+@_reg("td_sketch_quantiles", None)
+def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-length quantiles: Greenwald-Khanna sketch estimates
+    (accuracy parameter 10000 → rank error ≤ n/10000) next to the
+    exact percentiles."""
+    docs = load_table(spark, sf, "documents")
+    qs = [0.5, 0.9, 0.99]
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx("n_chars", qs, 10000).alias("approx_q"),
+        F.expr(f"percentile(n_chars, array({','.join(map(str, qs))}))").alias(
+            "exact_q"
+        ),
+    )

@@ -165,3 +165,19 @@ def test_connected_components_chain_triangle_singleton_pair(spark):
     assert got == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "x",
                    "q": "q", "r": "q"}
+
+
+def test_sketch_accuracy_vs_exact(spark, sf_smoke):
+    """Sketch ops must be accurate, not merely run: HLL++ distinct
+    within 5% of exact per language; GK quantiles within 2% of the
+    exact percentile values."""
+    from pero_ocr_api_spark.functions.sketches import (
+        q_sketch_distinct, q_sketch_quantiles,
+    )
+
+    for r in q_sketch_distinct(spark, sf_smoke).collect():
+        assert r.rel_err <= 0.05, (r.lang, r.rel_err)
+    row = q_sketch_quantiles(spark, sf_smoke).collect()[0]
+    assert row.n_docs > 0
+    for approx, exact in zip(row.approx_q, row.exact_q):
+        assert abs(approx - exact) <= max(0.02 * exact, 1.0), (approx, exact)

@@ -46,6 +46,10 @@ def test_driver_window_covers_everything_cumulatively():
         for k, v in r01.items()
         if all(x for kk, x in v.items() if kk.endswith("_match"))
     }
+    # rows-only entries (no SQL oracle) only ever get the driver's
+    # weak runs-and-returns-rows check, so hash-coverage continuity
+    # does not apply to them
+    rows_only = {n for n, (_f, sql) in _REG.items() if sql is None}
     demoted = qs[50:]
-    missing = [q for q in demoted if q not in green]
+    missing = [q for q in demoted if q not in green and q not in rows_only]
     assert not missing, f"demoted without prior driver-green: {missing}"
