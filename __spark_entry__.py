@@ -65,7 +65,7 @@ _DRIVER_WINDOW = [
     "cp_f9_json_extract", "cp_j1_three_way_join", "cp_a6_group_by_dim",
     "cp_tpch_q3_topk_join", "cp_tpch_q18_large_orders", "cp_sm_claim",
     # lifecycle family (kept with its new siblings)
-    "cp_sm_expire", "cp_sm_completion",
+    "cp_sm_completion",
     # new in round 2: cancel / auth-claim / finish / suspend / download /
     # catalog admin (add key, add engine version)
     "cp_sm_cancel", "cp_sm_claim_auth", "cp_sm_finish",
@@ -80,6 +80,7 @@ _DRIVER_WINDOW = [
     "td_sim_bruteforce_topk", "td_sim_lsh_signature", "td_sim_lsh_buckets",
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
     "td_mm_decode", "td_mm_resize_plan", "td_mm_frame_sample",
+    "td_mm_features",
     "cp_sql_j1_three_way_join", "cp_sql_tpch_q1_pricing",
     "cp_sql_a5_counts_24h", "cp_sql_a1_a3_request_status",
     "cp_sql_j6_rank_fallback", "cp_sql_a5a6_cube",

@@ -136,3 +136,42 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return df.select("media_ref").mapInPandas(fn, schema=FRAME_SAMPLE_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "media_ref string, b0 long, b1 long, b2 long, b3 long, "
+    "mean_intensity double, std_intensity double"
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage (the 'feature-extract' leg
+    of decode/feature-extract/resize/frame-sample): 4-bin intensity
+    histogram + mean/std per image.  Moments are computed from EXACT
+    integer sums (uint8 values and squares) before the one float
+    division, so the closed-form SQL oracle matches bit-for-bit — the
+    same discipline as the decode stage's mean."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload, w, h in zip(
+                pdf["media_ref"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = _decode_fake(bytes(payload), int(w), int(h)).ravel()
+                n = img.size
+                hist = [int(c) for c in np.bincount(img >> 6, minlength=4)]
+                s = int(img.sum(dtype=np.int64))
+                s2 = int((img.astype(np.int64) ** 2).sum())
+                mean = s / n
+                std = float(np.sqrt(s2 / n - mean * mean))
+                rows.append((ref, *hist, float(mean), std))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "b0", "b1", "b2", "b3",
+                    "mean_intensity", "std_intensity",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema=FEATURES_SCHEMA)

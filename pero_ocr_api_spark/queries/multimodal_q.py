@@ -132,3 +132,58 @@ SELECT media_ref,
 FROM counts
 """
 REGISTRY["td_mm_frame_sample"] = (q_mm_frame_sample, SQL_MM_FRAMES)
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    return extract_features(synth_media_bytes(_media_refs(spark, sf_dir)))
+
+
+# Same tiling closed form as SQL_MM_DECODE, extended to per-position
+# weights: byte k of the 16-byte md5 cycle occurs n//16 times plus one
+# more when k < n % 16.  Histogram bins are the >>6 buckets; std comes
+# from exact integer sums of values and squares (sqrt and the one
+# division are exactly-rounded IEEE ops on identical inputs).
+SQL_MM_FEATURES = f"""WITH {SQL_EXPLODED_SPANS_CTE.strip()},
+{_META_CTE.strip()},
+bytes AS (
+  SELECT media_ref, width, height,
+         list_transform(range(0, 16), k -> {_BYTE_K}) AS bl
+  FROM meta
+),
+calc AS (
+  SELECT media_ref,
+         CAST(width AS BIGINT) * height * 3 AS n,
+         bl,
+         list_transform(range(0, 16),
+           k -> (CAST(width AS BIGINT) * height * 3) // 16
+                + CASE WHEN k < (CAST(width AS BIGINT) * height * 3) % 16
+                       THEN 1 ELSE 0 END) AS wts
+  FROM bytes
+),
+agg AS (
+  SELECT media_ref, n,
+         list_sum(list_transform(range(0, 16),
+           k -> CASE WHEN bl[k+1] // 64 = 0 THEN wts[k+1] ELSE 0 END)) AS b0,
+         list_sum(list_transform(range(0, 16),
+           k -> CASE WHEN bl[k+1] // 64 = 1 THEN wts[k+1] ELSE 0 END)) AS b1,
+         list_sum(list_transform(range(0, 16),
+           k -> CASE WHEN bl[k+1] // 64 = 2 THEN wts[k+1] ELSE 0 END)) AS b2,
+         list_sum(list_transform(range(0, 16),
+           k -> CASE WHEN bl[k+1] // 64 = 3 THEN wts[k+1] ELSE 0 END)) AS b3,
+         list_sum(list_transform(range(0, 16), k -> bl[k+1] * wts[k+1])) AS s,
+         list_sum(list_transform(range(0, 16),
+           k -> bl[k+1] * bl[k+1] * wts[k+1])) AS s2
+  FROM calc
+)
+SELECT media_ref,
+       CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+       CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3,
+       s / CAST(n AS DOUBLE) AS mean_intensity,
+       sqrt(s2 / CAST(n AS DOUBLE)
+            - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+         AS std_intensity
+FROM agg
+"""
+REGISTRY["td_mm_features"] = (q_mm_features, SQL_MM_FEATURES)
