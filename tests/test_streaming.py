@@ -185,3 +185,62 @@ def test_streaming_dedup_first_seen_across_drains(spark, tmp_path_factory):
         .count()
     )
     assert out2.count() == batch
+
+
+def test_streaming_page_state_tracker_equals_batch_fold(spark, tmp_path_factory):
+    """Stateful lifecycle tracking: events drained in two separate
+    availableNow runs fold to exactly the states a single-pass Python
+    fold produces (same TRANSITIONS table), with illegal events
+    ignored and state surviving the checkpoint between drains."""
+    from datetime import datetime
+
+    from pero_ocr_api_spark.streaming.statemachine_stream import (
+        fold_events, track_page_states,
+    )
+
+    base = tmp_path_factory.mktemp("smstream")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir, exist_ok=True)
+    t = lambda m: datetime(2024, 5, 1, 10, m, 0)
+
+    batch1 = [
+        ("p1", "created", t(0)), ("p1", "upload", t(1)), ("p1", "claim", t(2)),
+        ("p2", "created", t(0)),
+        ("p3", "created", t(0)), ("p3", "claim", t(1)),   # illegal: ignored
+    ]
+    batch2 = [
+        ("p1", "finish_ok", t(10)),                        # across-drain state
+        ("p2", "upload", t(11)), ("p2", "cancel", t(12)),
+        ("p3", "upload", t(11)),
+        ("p4", "created", t(11)), ("p4", "upload", t(12)),
+        ("p4", "claim", t(13)), ("p4", "finish_fail", t(14)),
+    ]
+    schema = "page_id string, event string, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    track_page_states(spark, in_dir, out_dir, ckpt)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    track_page_states(spark, in_dir, out_dir, ckpt)
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    out = spark.read.parquet(out_dir)
+    # latest emitted row per page = current state
+    w = _W.partitionBy("page_id").orderBy(_F.col("batch_id").desc())
+    latest = {
+        r.page_id: r.state
+        for r in out.withColumn("rn", _F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    # independent fold over ALL events per page, sorted
+    events = sorted(batch1 + batch2, key=lambda e: (e[0], e[2], e[1]))
+    expected = {}
+    for pid, ev, _ts in events:
+        expected.setdefault(pid, []).append(ev)
+    expected = {p: fold_events(None, evs) for p, evs in expected.items()}
+    assert latest == expected
+    assert expected == {
+        "p1": "PROCESSED", "p2": "CANCELED",
+        "p3": "WAITING", "p4": "PROCESSING_FAILED",
+    }
