@@ -276,3 +276,21 @@ def test_add_engine_version_existing_engine(spark):
     assert vrows["2024-02-01"].engine_id == 1 and vrows["2024-02-01"].version_id == 2
     assert {r.name for r in dims["models"].collect()} == {"ocr_base", "ocr_v2"}
     assert (2, 2) in {(r.version_id, r.model_id) for r in dims["links"].collect()}
+
+
+def test_claim_authorized_plan_no_pages_shuffle(spark):
+    """The auth dimensions must join as BROADCAST semi-joins: the pages
+    fact reaches the distributed top-k without a single shuffle
+    Exchange (BroadcastExchange only), and the claim itself is still
+    TakeOrderedAndProject."""
+    from pero_ocr_api_spark.plans.statemachine import claim_pages_authorized
+
+    requests, keys = _auth_dims(spark)
+    plan = (
+        claim_pages_authorized(
+            _pages(spark), requests, keys, engine_id=1, now=NOW, max_claims=2
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
