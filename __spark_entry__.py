@@ -60,12 +60,11 @@ _EXTRACTION_QUERIES = {
 _DRIVER_WINDOW = [
     # flagship extraction plane
     "extract_input_spans", "extract_pipeline_spans", "extract_doc_results",
-    "extract_serialize_txt", "extract_conf_histogram", "extract_regions",
+    "extract_serialize_txt", "extract_regions",
     # changed in round 2 (oracle dtype fix / broadcast & claim re-plan)
     "cp_f9_json_extract", "cp_j1_three_way_join", "cp_a6_group_by_dim",
     "cp_tpch_q3_topk_join", "cp_tpch_q18_large_orders", "cp_sm_claim",
-    # lifecycle family (kept with its new siblings)
-    "cp_sm_completion",
+
     # new in round 2: cancel / auth-claim / finish / suspend / download /
     # catalog admin (add key, add engine version)
     "cp_sm_cancel", "cp_sm_claim_auth", "cp_sm_finish",
@@ -76,6 +75,7 @@ _DRIVER_WINDOW = [
     "td_dedup_canonical", "td_emb_quantize", "td_text_vocab",
     "td_corpus_filter", "td_corpus_split",
     "td_text_repetition", "td_pack_sequences",
+    "td_text_idf", "td_sim_kmeans_step",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk", "td_sim_lsh_signature", "td_sim_lsh_buckets",
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",

@@ -408,3 +408,70 @@ def q_quantize(spark: SparkSession, sf: str) -> DataFrame:
     return t.withColumn("q8", q8).select(
         "vec_id", F.round("scale", 6).alias("scale"), "q8"
     )
+
+
+# ------------------------------------------------ one Lloyd (k-means) step
+@_reg(
+    "td_sim_kmeans_step",
+    f"""WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {{n_cells}}
+),
+scored AS (
+  SELECT e.vec_id, c.c_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+           AS cs
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM scored) t WHERE rn = 1),
+comp AS (
+  SELECT a.cell, u.i AS idx, CAST(e.embedding[u.i + 1] AS DOUBLE) AS v
+  FROM assigned a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(range(0, {{dim}})) AS i) u)
+SELECT cell, idx,
+       count(*) AS n_members,
+       round(round(sum(v), 4) / count(*), 6) AS centroid
+FROM comp GROUP BY cell, idx""".format(n_cells=8, dim=64),
+)
+def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus:
+    assign every vector to its max-dot-product seed centroid (the IVF
+    assignment shape), then recompute each centroid component as the
+    member mean — posexplode to (cell, component) rows, a partial-agg
+    combined groupBy, never a per-cell collect.  The float mean uses
+    the round(sum,4)/count discipline so summation order can't flip
+    the hash.  Iterating this transform IS distributed k-means; one
+    verified step pins the recurrence."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cvec")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "cvec", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("c_id").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cs", dot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"), "embedding")
+    )
+    comp = assigned.select(
+        "cell", F.posexplode(F.col("embedding")).alias("idx", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    return comp.groupBy("cell", "idx").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.round(F.sum("v"), 4) / F.count("*"), 6).alias("centroid"),
+    )

@@ -360,3 +360,42 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("bin_id"),
     )
+
+
+# ---- document frequency / IDF table (TF-IDF plane) ----
+@_reg(
+    "td_text_idf",
+    """WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS token
+  FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, count(*) AS df,
+       round(ln((n.n_docs + 1.0) / (count(*) + 1.0)), 6) AS idf
+FROM tok, n
+GROUP BY token, n.n_docs""",
+)
+def q_idf(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus document-frequency / smoothed-IDF table — the weights
+    behind TF-IDF retrieval and rare-token filters.  Per-doc distinct
+    tokens (df counts documents, not occurrences), one explode + one
+    combine-shuffled count; the corpus size joins in as a broadcast
+    single-row aggregate."""
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("idf"),
+        )
+    )
