@@ -19,6 +19,8 @@ _BNLJ_OK = {
     "cp_admin_add_engine",   # 1-row max-id aggregates crossed into inserts
     "td_sim_ivf_topk",       # centroid seed rows crossed for assignment
     "td_sim_bruteforce_topk",  # fixed 5-row query set vs corpus (baseline op)
+    "td_sim_kmeans_step",    # 8 seed centroids crossed for assignment
+    "td_text_idf",           # 1-row corpus-size aggregate crossed in
 }
 
 _QUERIES = [
