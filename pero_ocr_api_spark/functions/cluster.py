@@ -49,6 +49,7 @@ def connected_components(pairs: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -74,6 +75,14 @@ def connected_components(pairs: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # A deep duplicate chain that outlives the iteration budget would
+        # otherwise be SILENTLY split into several clusters (extra
+        # "canonical" docs downstream) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

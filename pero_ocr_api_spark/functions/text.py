@@ -310,12 +310,17 @@ PACK_CAPACITY = 2048
 PACK_GROUPS = 64
 
 
+_P1 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))"
+_P2 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))"
+
+
 @_reg(
     "td_pack_sequences",
     f"""WITH t AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-         CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) AS INT)
+         (({_P1} - CASE WHEN {_P1} >= 97 THEN 87 ELSE 48 END) * 16
+          + ({_P2} - CASE WHEN {_P2} >= 97 THEN 87 ELSE 48 END))
            % {PACK_GROUPS} AS pack_group
   FROM documents),
 s AS (
@@ -336,13 +341,20 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     bin_id = floor(preceding_tokens / capacity).  A bin can overflow
     capacity by at most one document (next-fit-decreasing bound);
     grouping keeps the operator scale-free while the assignment stays
-    fully deterministic."""
+    fully deterministic.
+
+    pack_group decodes TWO md5 hex nibbles to a uniform 0-255 byte
+    before % PACK_GROUPS (as td_corpus_split does) — a single hex char
+    has only 16 values, which would silently cap the window's
+    parallelism at 16 groups (ADVICE r2)."""
     docs = load_table(spark, sf, "documents")
     n = F.size(tokens_col())
-    group = (
-        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1))
-        % PACK_GROUPS
-    )
+
+    def nibble(pos: int):
+        a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1))
+        return a - F.when(a >= 97, 87).otherwise(48)
+
+    group = (nibble(3) * 16 + nibble(4)) % PACK_GROUPS
     t = docs.select(
         "doc_id", n.alias("n_tokens"), group.alias("pack_group")
     ).filter(F.col("n_tokens") > 0)

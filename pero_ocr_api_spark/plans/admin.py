@@ -117,12 +117,18 @@ def add_api_key(api_keys: DataFrame, owner: str, permission: str = "USER") -> Da
     reference's random altchars exist only to vary the '+/' glyphs).
 
     The id/count aggregate runs over the api_keys user dimension —
-    rows ∝ users, not data; one tiny agg, no driver collect."""
+    rows ∝ users, not data; one tiny agg, no driver collect.
+
+    The digest input is built with column functions (F.concat_ws over
+    literals), never interpolated into a SQL string — an owner name
+    containing a quote is data, not syntax."""
+    digest_input = F.concat_ws(
+        ":", F.lit(owner), F.lit(permission), (F.col("_n") + 1).cast("string")
+    )
     new_row = api_keys.agg(F.count("*").alias("_n")).select(
         F.concat(F.lit("k"), (F.col("_n") + 1).cast("string")).alias("key_id"),
-        F.expr(
-            "trim(TRAILING '=' FROM "
-            f"base64(unhex(sha2(concat('{owner}', ':', '{permission}', ':', _n + 1), 256))))"
+        F.regexp_replace(
+            F.base64(F.unhex(F.sha2(digest_input, 256))), "=+$", ""
         ).alias("api_string"),
         F.lit(owner).alias("owner"),
         F.lit(permission).alias("permission"),

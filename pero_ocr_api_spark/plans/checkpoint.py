@@ -41,13 +41,19 @@ class SimulatedFailure(RuntimeError):
     """Raised by run(fail_after=...) to model a mid-job crash in tests."""
 
 
-def _fingerprint(documents: DataFrame) -> tuple[int, int]:
-    """(row count, order-insensitive xor of doc_id hashes) — cheap
-    identity check between a live source and the frozen snapshot.
-    bit_xor rather than sum: commutative AND overflow-free under ANSI."""
+def _fingerprint(documents: DataFrame, cols: list[str] | None = None) -> tuple[int, int]:
+    """(row count, order-insensitive xor of per-row hashes) — identity
+    check between a live source and the frozen snapshot.  The hash
+    covers EVERY column (xxhash64 handles arrays/structs), not just
+    doc_id: a source whose *content* changed under identical doc_ids
+    must be refused too, or resume would silently process the stale
+    snapshot.  bit_xor rather than sum: commutative AND overflow-free
+    under ANSI."""
+    cols = cols if cols is not None else documents.columns
+    col_list = ", ".join(f"`{c}`" for c in cols)
     row = documents.agg(
         F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
+        F.expr(f"bit_xor(xxhash64({col_list}))").alias("h"),
     ).first()
     return (row["n"], row["h"])
 
@@ -163,7 +169,10 @@ class CheckpointedExtractor:
         # pin guards against.  A changed source needs a fresh
         # output_dir.  (Two cheap single-agg scans, resume-only.)
         frozen = spark.read.parquet(staged)
-        fp_new, fp_old = _fingerprint(documents), _fingerprint(frozen)
+        # same column LIST and ORDER on both sides (frozen carries the
+        # extra group_id partition column; xxhash64 is order-sensitive)
+        fp_new = _fingerprint(documents, documents.columns)
+        fp_old = _fingerprint(frozen, documents.columns)
         if fp_new != fp_old:
             raise ValueError(
                 f"checkpoint at {self.output_dir} froze an input snapshot "
@@ -239,15 +248,23 @@ class CheckpointedExtractor:
     def read_docs(self, spark: SparkSession) -> DataFrame:
         return self._read_committed(spark, "docs")
 
+    _LINEAGE_SCHEMA = (
+        "run_id string, n_groups long, group_id int, doc_count long, "
+        "span_count long, wall_ms long, committed_at string"
+    )
+
     def lineage_df(self, spark: SparkSession) -> DataFrame:
+        # Normalize every manifest row to the SAME field set: manifests
+        # written before the n_groups pin lack that key, and a mixed
+        # old/new checkpoint would otherwise hand createDataFrame dicts
+        # with inconsistent keys (schema-merge-dependent behavior).
+        keys = [f.split()[0] for f in self._LINEAGE_SCHEMA.split(", ")]
         rows = [
-            {k: v for k, v in lin.items() if k != "metrics"}
+            {k: lin.get(k, self.n_groups if k == "n_groups" else None)
+             for k in keys}
             for lin in self.committed_groups().values()
         ]
-        return spark.createDataFrame(rows) if rows else spark.createDataFrame(
-            [], "run_id string, n_groups long, group_id int, doc_count long, "
-            "span_count long, wall_ms long, committed_at string"
-        )
+        return spark.createDataFrame(rows, self._LINEAGE_SCHEMA)
 
     def remaining_docs(self, spark: SparkSession, documents: DataFrame) -> DataFrame:
         """Doc-level resume view: documents not yet in any committed

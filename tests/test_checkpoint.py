@@ -102,6 +102,57 @@ def test_changed_input_on_resume_refused(spark, sf_smoke, tmp_path_factory):
     assert len(m) == 4
 
 
+def test_changed_content_on_resume_refused(spark, sf_smoke, tmp_path_factory):
+    """ADVICE r2: the fingerprint must cover CONTENT, not just the
+    doc_id set — resuming after the source's span text changed under
+    identical doc_ids must refuse, not process the stale snapshot."""
+    from pyspark.sql import functions as F
+
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("ckcontent"))
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
+    ck = CheckpointedExtractor(out, n_groups=4)
+    with pytest.raises(SimulatedFailure):
+        ck.run(spark, docs, fail_after=1)
+    mutated = docs.withColumn(
+        "spans",
+        F.expr(
+            "transform(spans, s -> named_struct("
+            "'kind', s.kind, 'text', upper(s.text), "
+            "'media_ref', s.media_ref, 'offset', s.offset))"
+        ),
+    )
+    assert mutated.count() == docs.count()  # same ids, same row count
+    with pytest.raises(ValueError, match="fingerprint"):
+        CheckpointedExtractor(out, n_groups=4).run(spark, mutated)
+    m = CheckpointedExtractor(out, n_groups=4).run(spark, docs)
+    assert len(m) == 4
+
+
+def test_mixed_legacy_lineage_rows_normalized(spark, sf_smoke, tmp_path_factory):
+    """ADVICE r2: a checkpoint holding pre-pin manifests (no n_groups
+    key) mixed with new ones must still yield a consistent lineage_df —
+    missing n_groups is backfilled from the instance pin."""
+    import json
+    import os
+
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("ckmixed"))
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
+    ck = CheckpointedExtractor(out, n_groups=4)
+    ck.run(spark, docs)
+    # age one manifest back to the pre-pin shape
+    p = os.path.join(out, "_manifest", "group-0.json")
+    lin = json.load(open(p))
+    lin.pop("n_groups")
+    json.dump(lin, open(p, "w"))
+    rows = ck.lineage_df(spark).collect()
+    assert len(rows) == 4
+    assert all(r.n_groups == 4 for r in rows)
+
+
 def test_prepin_checkpoint_derives_or_refuses(spark, sf_smoke, tmp_path_factory):
     """A checkpoint whose _meta.json is missing but whose manifests
     exist must derive n_groups from the lineage rows (recorded

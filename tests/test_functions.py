@@ -167,6 +167,58 @@ def test_connected_components_chain_triangle_singleton_pair(spark):
                    "q": "q", "r": "q"}
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    """ADVICE r2: an iteration budget too small for the component
+    diameter must FAIL LOUDLY — a silent split would keep extra
+    'canonical' docs downstream with no error."""
+    import pytest as _pytest
+
+    from pero_ocr_api_spark.functions.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(6)],
+        "doc_a string, doc_b string",
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # a sufficient budget converges to one cluster
+    got = connected_components(chain, max_iter=10)
+    assert {r.cluster_id for r in got.collect()} == {"d0"}
+
+
+def test_pack_groups_use_full_byte(spark, sf_smoke):
+    """ADVICE r2: pack_group must draw from the full PACK_GROUPS range
+    (two-nibble 0-255 decode), not the 16 values a single md5 hex char
+    yields — otherwise the packing window's parallelism caps at 16."""
+    from pero_ocr_api_spark.functions.text import PACK_GROUPS, q_pack_sequences
+
+    groups = {
+        r.pack_group
+        for r in q_pack_sequences(spark, sf_smoke).select("pack_group")
+        .distinct().collect()
+    }
+    assert len(groups) > 16
+    assert all(0 <= g < PACK_GROUPS for g in groups)
+
+
+def test_add_api_key_quote_safe(spark):
+    """ADVICE r2: owner/permission are data, not SQL — a value with a
+    single quote must not break the digest expression."""
+    from pero_ocr_api_spark.plans.admin import add_api_key
+
+    keys = spark.createDataFrame(
+        [("k1", "AAAA", "alice", "USER", False)],
+        "key_id string, api_string string, owner string, "
+        "permission string, suspension boolean",
+    )
+    out = add_api_key(keys, owner="O'Brien; DROP TABLE--", permission="USER")
+    rows = {r.key_id: r for r in out.collect()}
+    assert set(rows) == {"k1", "k2"}
+    new = rows["k2"]
+    assert new.owner == "O'Brien; DROP TABLE--"
+    assert new.api_string and "=" not in new.api_string
+
+
 def test_sketch_accuracy_vs_exact(spark, sf_smoke):
     """Sketch ops must be accurate, not merely run: HLL++ distinct
     within 5% of exact per language; GK quantiles within 2% of the
