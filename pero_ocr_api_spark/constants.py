@@ -73,4 +73,6 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 SHINGLE_K = 3           # token-shingle width for minhash / jaccard
 MINHASH_PERMS = 8       # tiny signature, oracle-SQL friendly
 LSH_BANDS = 4           # 2 rows per band
+LSH_BAND_CAP = 16       # max band-bucket size for pairwise candidate gen;
+                        # bigger buckets take the exact-signature star path
 SIMHASH_BITS = 16
