@@ -2,8 +2,16 @@
 "which queries regressed this round" is mechanical.
 
 Usage: python BENCH/trend.py            # writes BENCH/TREND.md, prints it
-Exit status 1 if any query regressed > REGRESSION_PCT vs the previous
-round (useful as a pre-commit tripwire).
+Exit status 1 if any query regressed > REGRESSION_PCT vs the BEST prior
+round (the regression gate; also run by tests/test_bench_trend.py).
+
+Why best-prior, not previous-round (VERDICT r2): single rounds on a
+shared VM carry contention noise — r02's own numbers were +17% across
+the board with unchanged plans.  A REAL plan regression makes the
+current round worse than EVERY prior round; comparing against the best
+prior round keeps that signal while a noisy baseline round can no
+longer raise (or mask) an alarm.  bench.py additionally reports
+median-of-n per query since round 3, shrinking within-run noise.
 """
 
 from __future__ import annotations
@@ -44,12 +52,14 @@ def main() -> int:
                 names.append(q)
 
     header = "| query | " + " | ".join(f"r{n:02d} (s)" for n, _ in rounds)
-    header += " | Δ last (%) |"
-    sep = "|---" * (len(rounds) + 2) + "|"
+    header += " | Δ last (%) | Δ best-prior (%) |"
+    sep = "|---" * (len(rounds) + 3) + "|"
     lines = [
         "# BENCH trend — per-query wall seconds by round",
         "",
-        f"Regression threshold: +{REGRESSION_PCT:.0f}% vs previous round.",
+        f"Regression gate: +{REGRESSION_PCT:.0f}% vs BEST prior round "
+        "(noise-robust — see trend.py docstring); Δ last shown for "
+        "context only.",
         "",
         header,
         sep,
@@ -60,19 +70,27 @@ def main() -> int:
         for _, p in rounds:
             v = p["queries"].get(q)
             cells.append("—" if v is None else f"{v:.3f}")
-        delta = "—"
+        delta = dbest = "—"
         if len(rounds) >= 2:
-            prev = rounds[-2][1]["queries"].get(q)
             cur = rounds[-1][1]["queries"].get(q)
+            prev = rounds[-2][1]["queries"].get(q)
+            priors = [
+                p["queries"][q] for _, p in rounds[:-1] if p["queries"].get(q)
+            ]
             if prev and cur:
-                pct = (cur - prev) / prev * 100.0
-                delta = f"{pct:+.1f}"
+                delta = f"{(cur - prev) / prev * 100.0:+.1f}"
+            if priors and cur:
+                best = min(priors)
+                pct = (cur - best) / best * 100.0
+                dbest = f"{pct:+.1f}"
                 if pct > REGRESSION_PCT:
                     regressed.append((q, pct))
-        lines.append(f"| {q} | " + " | ".join(cells) + f" | {delta} |")
+        lines.append(
+            f"| {q} | " + " | ".join(cells) + f" | {delta} | {dbest} |"
+        )
 
     totals = " | ".join(f"{p.get('value', 0):.2f}" for _, p in rounds)
-    lines.append(f"| **total** | {totals} | |")
+    lines.append(f"| **total** | {totals} | | |")
     thr = [
         p.get("extraction_throughput", {}).get("docs_per_sec") for _, p in rounds
     ]
@@ -80,7 +98,7 @@ def main() -> int:
         lines.append(
             "| extraction docs/sec | "
             + " | ".join("—" if t is None else f"{t}" for t in thr)
-            + " | |"
+            + " | | |"
         )
     if regressed:
         lines += ["", "## REGRESSIONS"] + [

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -61,14 +62,8 @@ def materialize_input(spark, sf_dir: str, cache_dir: str) -> str:
     return path
 
 
-def bench_extraction(spark, input_path: str) -> tuple[float, dict]:
-    docs = spark.read.parquet(input_path)
+def bench_extraction_once(spark, docs) -> tuple[float, dict]:
     cores = spark.sparkContext.defaultParallelism
-    # warmup with zero emulated model cost: JIT + python-worker spawn +
-    # file listing happen once, outside the measurement (same plan shape)
-    warm_cfg = {**BENCH_ENGINE_CONFIG, "work_sleep_ms": 0.0, "work_iters": 0}
-    extract(spark, docs, engine_config=warm_cfg, with_metrics=False,
-            salt_partitions=4 * cores).spans.count()
     t0 = time.monotonic()
     res = extract(
         spark, docs,
@@ -88,6 +83,11 @@ def bench_extraction(spark, input_path: str) -> tuple[float, dict]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # VERDICT r2: single-shot timings on a shared VM are not evidence —
+    # every query runs REPS times and the reported number is the
+    # per-query MEDIAN (first rep doubles as cache/JIT warmup for the
+    # rest; the extraction gets its own explicit zero-cost warmup).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark(
@@ -95,13 +95,21 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     input_path = materialize_input(spark, sf_dir, "/tmp/spark_graft_bench")
-    t0 = time.monotonic()
-    dt, stats = bench_extraction(spark, input_path)
-    timings["extract_pipeline"] = round(dt, 3)
-    print(f"extraction: {stats}", file=sys.stderr)
+    docs = spark.read.parquet(input_path)
+    cores = spark.sparkContext.defaultParallelism
+    # warmup with zero emulated model cost: JIT + python-worker spawn +
+    # file listing happen once, outside the measurement (same plan shape)
+    warm_cfg = {**BENCH_ENGINE_CONFIG, "work_sleep_ms": 0.0, "work_iters": 0}
+    extract(spark, docs, engine_config=warm_cfg, with_metrics=False,
+            salt_partitions=4 * cores).spans.count()
+    stats = {}
+    for _ in range(reps):
+        dt, stats = bench_extraction_once(spark, docs)
+        samples.setdefault("extract_pipeline", []).append(dt)
+        print(f"extraction: {stats}", file=sys.stderr)
 
     others = {
         "cp_tpch_q1": CP["cp_tpch_q1_pricing"][0],
@@ -113,19 +121,29 @@ def main() -> None:
         "td_text_quality": TEXT["td_text_quality"][0],
         "td_mc_extract": MC["td_mc_extract"][0],
     }
-    for name, fn in others.items():
-        t = time.monotonic()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t, 3)
+    for _ in range(reps):
+        for name, fn in others.items():
+            t = time.monotonic()
+            fn(spark, sf_dir).count()
+            samples.setdefault(name, []).append(time.monotonic() - t)
 
-    total = round(time.monotonic() - t0, 3)
+    timings = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in samples.items()
+    }
+    total = round(sum(timings.values()), 3)
     spark.stop()
+    print("samples: " + json.dumps(
+        {k: [round(v, 3) for v in vs] for k, vs in samples.items()}
+    ), file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
+        "aggregation": "median_per_query; value = sum of medians",
         "extraction_throughput": stats,
         "cpus": cpus,
     }))

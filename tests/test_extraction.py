@@ -230,6 +230,58 @@ def test_heavy_doc_salting_bounds_skew(spark):
     assert got == exp
 
 
+def test_skewed_input_wall_time_bounded(spark):
+    """VERDICT r2 #6 / north_rule skew claim: with salting on, a corpus
+    where ONE doc holds 10% of all media spans must run within 1.5x the
+    wall time of a uniform corpus with the SAME total span count.  The
+    emulated per-page model latency makes the media stage time-bound,
+    so an unsalted plan (doc-partitioned) would serialize the heavy doc
+    on one task; the (doc_id, offset) hash salt spreads it."""
+    import time
+
+    def corpus(split):
+        rows = []
+        for j, n_spans in enumerate(split):
+            rows.append((
+                f"doc-{j:03d}",
+                [{"kind": "media", "text": None,
+                  "media_ref": f"img://d{j}/p{i}", "offset": i}
+                 for i in range(n_spans)],
+            ))
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    total, heavy_frac = 1600, 0.10
+    uniform = corpus([16] * 100)
+    heavy = int(total * heavy_frac)
+    skewed = corpus([heavy] + [16] * ((total - heavy) // 16))
+    cfg = {"engine": "stub-ocr", "version": 1,
+           "work_iters": 0, "work_sleep_ms": 5.0}
+
+    def wall(docs):
+        # best-of-2 damps scheduler noise; first overall run also warms
+        # the python workers for everyone after it
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            extract(spark, docs, engine_config=cfg, with_metrics=False,
+                    salt_partitions=16).spans.count()
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    wall(uniform)  # warmup (JIT + worker spawn), unmeasured
+    t_uniform = wall(uniform)
+    t_skewed = wall(skewed)
+    ratio = t_skewed / t_uniform
+    assert ratio < 1.5, (
+        f"skewed/uniform wall ratio {ratio:.2f} "
+        f"({t_skewed:.2f}s vs {t_uniform:.2f}s)"
+    )
+
+
 def test_partitioning_independence(spark, sf_smoke):
     """The result must be identical whatever the salt width — output
     depends only on data, never on physical partitioning (the property

@@ -244,3 +244,70 @@ def test_streaming_page_state_tracker_equals_batch_fold(spark, tmp_path_factory)
         "p1": "PROCESSED", "p2": "CANCELED",
         "p3": "WAITING", "p4": "PROCESSING_FAILED",
     }
+
+
+def test_streaming_cancel_racing_finish(spark, tmp_path_factory):
+    """VERDICT r2 #7: the reference allows cancel while a page is
+    PROCESSING (general.py:54-63 cancels CREATED/WAITING/PROCESSING
+    pages), so a cancel event can race the worker's finish event.  The
+    fold must resolve every ordering deterministically:
+    - cancel lands first → CANCELED; the late finish is a no-op
+      (the reference worker's result upload hits a canceled page);
+    - finish lands first → PROCESSED/FAILED; the late cancel is a
+      no-op (cancel only touches non-terminal pages);
+    - same timestamp → event-name tiebreak (cancel < finish_*) makes
+      the outcome CANCELED, identically in every drain split.
+    The race is exercised ACROSS drains: the checkpointed state carries
+    PROCESSING over the restart boundary."""
+    from datetime import datetime
+
+    from pero_ocr_api_spark.streaming.statemachine_stream import (
+        fold_events, track_page_states,
+    )
+
+    base = tmp_path_factory.mktemp("smrace")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir, exist_ok=True)
+    t = lambda m: datetime(2024, 5, 1, 10, m, 0)
+
+    def start(pid):
+        return [(pid, "created", t(0)), (pid, "upload", t(1)),
+                (pid, "claim", t(2))]
+
+    batch1 = (
+        start("pc1") + start("pc2") + start("pc3")
+        + [("pc1", "cancel", t(3))]          # cancel BEFORE the drain split
+    )
+    batch2 = [
+        ("pc1", "finish_ok", t(4)),          # late finish on CANCELED: no-op
+        ("pc2", "finish_fail", t(3)), ("pc2", "cancel", t(4)),  # finish first
+        ("pc3", "cancel", t(5)), ("pc3", "finish_ok", t(5)),    # exact tie
+    ]
+    schema = "page_id string, event string, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    track_page_states(spark, in_dir, out_dir, ckpt)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    track_page_states(spark, in_dir, out_dir, ckpt)
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    out = spark.read.parquet(out_dir)
+    w = _W.partitionBy("page_id").orderBy(_F.col("batch_id").desc())
+    latest = {
+        r.page_id: r.state
+        for r in out.withColumn("rn", _F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert latest == {
+        "pc1": "CANCELED",           # cancel-then-finish: cancel sticks
+        "pc2": "PROCESSING_FAILED",  # finish-then-cancel: terminal sticks
+        "pc3": "CANCELED",           # tie: deterministic name order
+    }
+    # the streaming fold equals the batch fold on the merged stream
+    events = sorted(batch1 + batch2, key=lambda e: (e[0], e[2], e[1]))
+    per_page = {}
+    for pid, ev, _ts in events:
+        per_page.setdefault(pid, []).append(ev)
+    assert latest == {p: fold_events(None, evs) for p, evs in per_page.items()}
