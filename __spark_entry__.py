@@ -61,13 +61,13 @@ _DRIVER_WINDOW = [
     # flagship extraction plane
     "extract_input_spans", "extract_pipeline_spans", "extract_doc_results",
     "extract_serialize_txt", "extract_regions",
-    # changed in round 2 (oracle dtype fix / broadcast & claim re-plan)
-    "cp_j1_three_way_join", "cp_sm_claim",
+    # changed in round 2 (claim re-plan)
+    "cp_sm_claim",
     # new in round 3: INI engine-config knob catalog; first-ever driver
     # rows for the two sketch ops (rows-only by construction); minhash
     # re-entered after the band-bucket cap rewrite
     "cp_cfg_engine_knobs", "td_sketch_distinct", "td_sketch_quantiles",
-    "td_dedup_minhash_lsh",
+    "td_dedup_minhash_lsh", "td_dedup_substring",
 
     # changed in round 3 (ADVICE fixes: auth-claim AQE re-plan, pack
     # groups, quote-safe keys) or new in round 2

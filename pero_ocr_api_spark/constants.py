@@ -76,3 +76,4 @@ LSH_BANDS = 4           # 2 rows per band
 LSH_BAND_CAP = 16       # max band-bucket size for pairwise candidate gen;
                         # bigger buckets take the exact-signature star path
 SIMHASH_BITS = 16
+SUBSTR_W = 8            # token-window width for exact-substring dedup

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import LSH_BAND_CAP, LSH_BANDS, MINHASH_PERMS, SHINGLE_K
+from ..constants import (
+    LSH_BAND_CAP,
+    LSH_BANDS,
+    MINHASH_PERMS,
+    SHINGLE_K,
+    SUBSTR_W,
+)
 from ..session import load_table
 
 from ..registry import make_registry
@@ -50,7 +56,7 @@ def q_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- shingles
-def shingles_df(spark: SparkSession, sf: str) -> DataFrame:
+def shingles_df(spark: SparkSession, sf: str, k: int = SHINGLE_K) -> DataFrame:
     """Distinct K-token shingles per doc: (doc_id, sh).
 
     The doc table is repartitioned to the cluster width BEFORE the
@@ -64,26 +70,32 @@ def shingles_df(spark: SparkSession, sf: str) -> DataFrame:
     )
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     d = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= SHINGLE_K
+        F.size("toks") >= k
     )
     sh = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (SHINGLE_K - 1)),
-        lambda i: F.array_join(F.slice(F.col("toks"), i, SHINGLE_K), " "),
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
     )
     return d.select("doc_id", F.explode(sh).alias("sh")).distinct()
 
 
-_SQL_SHINGLES = f"""
+def _sql_shingles(k: int) -> str:
+    """The DuckDB CTE mirroring shingles_df(k): distinct k-token
+    windows per doc, as `sh(doc_id, sh)`."""
+    return f"""
 toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents),
 sh0 AS (
   SELECT doc_id,
-         unnest([array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')
-                 for i in range(1, len(toks) - {SHINGLE_K - 2})]) AS sh
-  FROM toks WHERE len(toks) >= {SHINGLE_K}),
+         unnest([array_to_string(list_slice(toks, i, i + {k - 1}), ' ')
+                 for i in range(1, len(toks) - {k - 2})]) AS sh
+  FROM toks WHERE len(toks) >= {k}),
 sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
 """
+
+
+_SQL_SHINGLES = _sql_shingles(SHINGLE_K)
 
 
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -375,3 +387,53 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REGISTRY["td_dedup_simhash"] = (q_simhash, _simhash_sql())
+
+
+# ----------------------------------- exact-substring duplication profile
+# (the Lee et al. "Deduplicating Training Data Makes Language Models
+# Better" exact-substring pass, re-expressed relationally: a W-token
+# window occurring in >= 2 distinct documents is duplicated text.)
+_SQL_WINDOWS = _sql_shingles(SUBSTR_W)
+
+
+@_reg(
+    "td_dedup_substring",
+    f"""WITH {_SQL_WINDOWS.strip()},
+wdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+SELECT s.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN w.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(sum(CASE WHEN w.df >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM sh s JOIN wdf w ON w.sh = s.sh
+GROUP BY s.doc_id""",
+)
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document exact-substring duplication profile: the fraction
+    of a doc's distinct {SUBSTR_W}-token windows that also occur in at
+    least one OTHER document — the signal the suffix-array
+    exact-substring dedup pass thresholds on, built from two shuffles
+    on the window hash (df count-agg + join back), never a suffix
+    array.  The per-window df table is the shared artifact: at 100 TB
+    it is the materialized "duplicated window" dictionary every shard
+    joins against, and both shuffles partition by the high-cardinality
+    window key (no skew hot-spot; a boilerplate window's df row is one
+    row, its contribution fanning back out through the join).
+
+    Since distinct-per-doc windows feed the df count, df counts
+    DOCUMENTS per window (not occurrences), matching the oracle."""
+    sh = shingles_df(spark, sf, k=SUBSTR_W).localCheckpoint()
+    wdf = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    dup = (F.col("df") >= 2).cast("int")
+    return (
+        sh.join(wdf, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(dup).cast("bigint").alias("n_dup_windows"),
+            F.round(
+                F.sum(dup) / F.count("*").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -196,6 +196,13 @@ class CheckpointedExtractor:
         run_id = run_id or uuid.uuid4().hex[:12]
         grouped = self._stage_input(spark, documents)
         done = self.committed_groups()
+        # snapshot_id is a per-commit sequence number (Iceberg snapshot
+        # lineage): time travel reads "the table as of snapshot N".
+        # Single-writer is the checkpoint contract, so resuming
+        # continues the sequence.
+        snapshot = max(
+            (lin.get("snapshot_id", 0) for lin in done.values()), default=0
+        )
         fresh = 0
         for g in range(self.n_groups):
             if g in done:
@@ -214,9 +221,11 @@ class CheckpointedExtractor:
             span_count = spark.read.parquet(spans_path).count()
             doc_count = spark.read.parquet(docs_path).count()
             res.unpersist()
+            snapshot += 1
             lineage = {
                 "run_id": run_id,
                 "n_groups": self.n_groups,  # makes the pin derivable
+                "snapshot_id": snapshot,
                 "group_id": g,
                 "doc_count": doc_count,
                 "span_count": span_count,
@@ -233,8 +242,18 @@ class CheckpointedExtractor:
         return self.committed_groups()
 
     # ---- reads (only committed groups are visible) ----
-    def _read_committed(self, spark: SparkSession, sub: str) -> DataFrame:
-        groups = sorted(self.committed_groups())
+    def _read_committed(
+        self, spark: SparkSession, sub: str, as_of: int | None = None
+    ) -> DataFrame:
+        """Union of committed group partitions; ``as_of`` is Iceberg
+        time travel — only groups committed at snapshot_id <= as_of are
+        visible (pre-snapshot manifests count as snapshot 0, i.e.
+        always visible)."""
+        committed = self.committed_groups()
+        groups = sorted(
+            g for g, lin in committed.items()
+            if as_of is None or lin.get("snapshot_id", 0) <= as_of
+        )
         paths = [
             os.path.join(self.output_dir, sub, f"group={g}") for g in groups
         ]
@@ -242,15 +261,15 @@ class CheckpointedExtractor:
             raise ValueError("no committed groups")
         return spark.read.parquet(*paths)
 
-    def read_spans(self, spark: SparkSession) -> DataFrame:
-        return self._read_committed(spark, "spans")
+    def read_spans(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        return self._read_committed(spark, "spans", as_of)
 
-    def read_docs(self, spark: SparkSession) -> DataFrame:
-        return self._read_committed(spark, "docs")
+    def read_docs(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        return self._read_committed(spark, "docs", as_of)
 
     _LINEAGE_SCHEMA = (
-        "run_id string, n_groups long, group_id int, doc_count long, "
-        "span_count long, wall_ms long, committed_at string"
+        "run_id string, n_groups long, snapshot_id long, group_id int, "
+        "doc_count long, span_count long, wall_ms long, committed_at string"
     )
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:

@@ -185,6 +185,38 @@ def test_prepin_checkpoint_derives_or_refuses(spark, sf_smoke, tmp_path_factory)
         CheckpointedExtractor(out, n_groups=4)
 
 
+def test_snapshot_time_travel(spark, sf_smoke, tmp_path_factory):
+    """Iceberg-style time travel: every commit gets a monotonically
+    increasing snapshot_id (continuing across resume), and
+    read_docs/read_spans(as_of=N) shows exactly the groups committed at
+    snapshots <= N — the state a reader at that moment saw."""
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("cktt"))
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
+    ck = CheckpointedExtractor(out, n_groups=4)
+    with pytest.raises(SimulatedFailure):
+        ck.run(spark, docs, run_id="try1", fail_after=2)
+    manifest = ck.run(spark, docs, run_id="try2")
+
+    snaps = {g: lin["snapshot_id"] for g, lin in manifest.items()}
+    assert sorted(snaps.values()) == [1, 2, 3, 4]  # resume continues
+    # as_of the crash point: exactly the first two committed groups
+    first_two = {g for g, s in snaps.items() if s <= 2}
+    asof = ck.read_docs(spark, as_of=2)
+    full = ck.read_docs(spark)
+    expect = sum(manifest[g]["doc_count"] for g in first_two)
+    assert asof.count() == expect < full.count()
+    # spans agree with the docs snapshot
+    span_expect = sum(manifest[g]["span_count"] for g in first_two)
+    assert ck.read_spans(spark, as_of=2).count() == span_expect
+    # as_of beyond head == current table
+    assert ck.read_docs(spark, as_of=99).count() == full.count()
+    # lineage carries the snapshot column
+    rows = ck.lineage_df(spark).collect()
+    assert sorted(r.snapshot_id for r in rows) == [1, 2, 3, 4]
+
+
 def test_lineage_records_n_groups(spark, sf_smoke, tmp_path_factory):
     from pero_ocr_api_spark.synth import interleaved_documents
 
