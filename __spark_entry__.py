@@ -20,6 +20,7 @@ from pero_ocr_api_spark.queries import extraction as _qx
 from pero_ocr_api_spark.queries import extraction_sql as _sx
 from pero_ocr_api_spark.functions.cluster import REGISTRY as _CLUSTER
 from pero_ocr_api_spark.functions.dedup import REGISTRY as _DEDUP
+from pero_ocr_api_spark.functions.events import REGISTRY as _EV
 from pero_ocr_api_spark.functions.maincontent import REGISTRY as _MC
 from pero_ocr_api_spark.functions.sketches import REGISTRY as _SKETCH
 from pero_ocr_api_spark.functions.similarity import REGISTRY as _SIM
@@ -59,8 +60,9 @@ _EXTRACTION_QUERIES = {
 # tests/test_oracle_parity.py re-proves ALL pairs locally every run.
 _DRIVER_WINDOW = [
     # flagship extraction plane
-    "extract_input_spans", "extract_pipeline_spans", "extract_doc_results",
-    "extract_serialize_txt", "extract_regions",
+    "extract_pipeline_spans", "extract_doc_results", "extract_regions",
+    # new in round 3: as-of join + sessionization (events plane)
+    "td_asof_attribution", "td_sessionize",
     # changed in round 2 (claim re-plan)
     "cp_sm_claim",
     # new in round 3: INI engine-config knob catalog; first-ever driver
@@ -103,6 +105,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(_TEXT)
     reg.update(_MC)
     reg.update(_DEDUP)
+    reg.update(_EV)
     reg.update(_CLUSTER)
     reg.update(_SKETCH)
     reg.update(_SIM)

@@ -1,0 +1,148 @@
+"""Event-stream operators Spark has no native batch primitive for —
+as-of join and gap sessionization — in their scale-correct
+distributed shapes, oracled by DuckDB's native implementations.
+
+The reference's closest analogs are its timestamp bookkeeping
+(Page.processing_timestamp vs finish_timestamp,
+/root/reference/app/db/model.py:56-60) and the 60 s requeue sweep that
+compares "latest state change" timestamps (/root/reference/app/
+__init__.py:71-119) — per-entity latest-prior-event reasoning, which
+is exactly the as-of relation.
+
+Scale shapes (100 TB):
+- **as-of join**: the naive formulation is a per-key inequality join —
+  a BNLJ that goes quadratic on active users.  The distributed shape
+  used here is union-tag + one window: tag both sides, union, ONE
+  shuffle on the key, and a running `last(when(side=left, ...))` over
+  the (ts, side) sort order picks each right row's latest preceding
+  left row.  O(n log n) per partition, no product anywhere.  (DuckDB
+  oracles it with its native ASOF LEFT JOIN.)
+- **sessionization**: lag-gap flag + running sum assigns session ids
+  in the same single user_id shuffle, then one partial-agg groupBy
+  builds session stats.  In Structured Streaming the same semantics is
+  `F.session_window(ts, '30 minutes')`; this is the batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import make_registry
+from ..session import load_table
+
+REGISTRY, _reg = make_registry()
+
+SESSION_GAP_SECS = 1800  # 30-minute inactivity gap
+
+
+def _secs(col):
+    """Epoch seconds with microsecond fraction.  The parquet ts column
+    is TIMESTAMP_NTZ, which Spark 4 refuses to cast straight to double;
+    NTZ→TIMESTAMP is exact under the session's pinned UTC zone, and
+    matches DuckDB's epoch(naive-as-UTC)."""
+    return col.cast("timestamp").cast("double")
+
+
+@_reg(
+    "td_asof_attribution",
+    """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       round(epoch(p.ts) - epoch(c.ts), 3) AS secs_since_click
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def q_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the user's most
+    recent click at-or-before it (inclusive >=) — the canonical as-of
+    join.  Implemented as union-tag + one user_id window: clicks sort
+    BEFORE purchases at equal ts (side asc) so the inclusive bound
+    holds, and `last(..., ignorenulls)` over the running frame carries
+    the latest click struct to each purchase row.  Purchases with no
+    prior click keep NULL click columns (left semantics)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    both = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(
+            F.col("side") == 0,
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        both.withColumn("_lc", last_click)
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("_lc.event_id").alias("click_id"),
+            F.round(
+                _secs(F.col("ts")) - _secs(F.col("_lc.ts")), 3
+            ).alias("secs_since_click"),
+        )
+    )
+
+
+@_reg(
+    "td_sessionize",
+    f"""WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_secs
+FROM s GROUP BY user_id, session_idx""",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization ({SESSION_GAP_SECS}s inactivity): the
+    lag-gap/new-session flag and its running sum share ONE user_id
+    window partitioning, and the per-session aggregate reuses the same
+    distribution — one shuffle end-to-end.  Streaming twin:
+    `F.session_window(ts, '30 minutes')` in a watermarked agg."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = _secs(F.col("ts")) - _secs(F.lag("ts").over(w_lag))
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SECS), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx", F.sum(new_session).over(w_run).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.round(
+            _secs(F.max("ts")) - _secs(F.min("ts")), 3
+        ).alias("duration_secs"),
+    )

@@ -246,6 +246,51 @@ def test_add_api_key_quote_safe(spark):
     assert new.api_string and "=" not in new.api_string
 
 
+def test_asof_and_sessionize_edges(spark, tmp_path):
+    """As-of join and sessionization pinned on the hard edges: a click
+    at EXACTLY the purchase ts matches (inclusive >=), a user with no
+    prior click keeps NULL click columns, a gap of exactly
+    SESSION_GAP_SECS stays in-session while gap+1 splits."""
+    from datetime import datetime, timedelta
+
+    from pero_ocr_api_spark.functions.events import (
+        SESSION_GAP_SECS, q_asof_attribution, q_sessionize,
+    )
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # u1: click then purchase 10s later; second click AT purchase ts
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=10), 10, "click", 1.0, "{}"),
+        (3, t0 + timedelta(seconds=10), 10, "purchase", 5.0, "{}"),
+        # u2: purchase with no click at all
+        (4, t0, 20, "purchase", 5.0, "{}"),
+        # u3: events exactly GAP apart (same session), then GAP+1 (new)
+        (5, t0, 30, "view", 0.0, "{}"),
+        (6, t0 + timedelta(seconds=SESSION_GAP_SECS), 30, "view", 0.0, "{}"),
+        (7, t0 + timedelta(seconds=2 * SESSION_GAP_SECS + 1), 30, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    asof = {r.purchase_id: r for r in q_asof_attribution(spark, str(tmp_path)).collect()}
+    assert asof[3].click_id == 2 and asof[3].secs_since_click == 0.0
+    assert asof[4].click_id is None and asof[4].secs_since_click is None
+
+    sess = {
+        (r.user_id, r.session_idx): r
+        for r in q_sessionize(spark, str(tmp_path)).collect()
+    }
+    u3 = sorted(k for k in sess if k[0] == 30)
+    assert len(u3) == 2                      # exactly-GAP stays merged
+    assert sess[u3[0]].n_events == 2
+    assert sess[u3[0]].duration_secs == float(SESSION_GAP_SECS)
+    assert sess[u3[1]].n_events == 1
+
+
 def test_sketch_accuracy_vs_exact(spark, sf_smoke):
     """Sketch ops must be accurate, not merely run: HLL++ distinct
     within 5% of exact per language; GK quantiles within 2% of the
