@@ -19,6 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pero_ocr_api_spark.queries import extraction as _qx
 from pero_ocr_api_spark.queries import extraction_sql as _sx
 from pero_ocr_api_spark.functions.cluster import REGISTRY as _CLUSTER
+from pero_ocr_api_spark.functions.curation import REGISTRY as _CUR
 from pero_ocr_api_spark.functions.dedup import REGISTRY as _DEDUP
 from pero_ocr_api_spark.functions.events import REGISTRY as _EV
 from pero_ocr_api_spark.functions.maincontent import REGISTRY as _MC
@@ -61,8 +62,12 @@ _EXTRACTION_QUERIES = {
 _DRIVER_WINDOW = [
     # flagship extraction plane
     "extract_pipeline_spans", "extract_doc_results", "extract_regions",
-    # new in round 3: as-of join + sessionization (events plane)
-    "td_asof_attribution", "td_sessionize",
+    # new in round 3: as-of join + sessionization + bucketed range join
+    # + hierarchical rollup (events plane)
+    "td_asof_attribution", "td_sessionize", "td_range_join", "td_ts_rollup",
+    # new in round 3: curation plane (decontamination, stratified
+    # sampling, PII redaction)
+    "td_decontaminate", "td_stratified_sample", "td_pii_redact",
     # changed in round 2 (claim re-plan)
     "cp_sm_claim",
     # new in round 3: INI engine-config knob catalog; first-ever driver
@@ -73,9 +78,8 @@ _DRIVER_WINDOW = [
 
     # changed in round 3 (ADVICE fixes: auth-claim AQE re-plan, pack
     # groups, quote-safe keys) or new in round 2
-    "cp_sm_cancel", "cp_sm_claim_auth", "cp_sm_finish",
-    "cp_admin_suspend", "cp_dl_validate",
-    "cp_admin_add_key", "cp_admin_add_engine",
+    "cp_sm_claim_auth",
+    "cp_admin_add_key",
     # new in round 2: jusText-style main-content extraction + dup clusters
     "td_mc_blocks", "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical", "td_emb_quantize", "td_text_vocab",
@@ -107,6 +111,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(_DEDUP)
     reg.update(_EV)
     reg.update(_CLUSTER)
+    reg.update(_CUR)
     reg.update(_SKETCH)
     reg.update(_SIM)
     reg.update(_MM)

@@ -1,0 +1,240 @@
+"""Corpus-curation operators a training-data pipeline runs between
+dedup and packing: train/test decontamination, stratified sampling
+with inverse-probability weights, and PII redaction.
+
+The reference has no analog (it curates nothing — every uploaded page
+is processed, /root/reference/app/main/routes.py:66-118); these extend
+the documents plane the same way the dedup/similarity families do.
+
+Scale shapes (100 TB):
+- **decontamination**: the Lee/Brown-style n-gram overlap check between
+  a heldout split and the training split.  Train shingles are
+  DISTINCT-ed to one row per shingle BEFORE the join, so the join key
+  (the shingle hash) is unique on the build side — no fan-out, no
+  boilerplate hot key, and the two shuffles both partition on the
+  high-cardinality shingle.  Never a doc×doc comparison.
+- **stratified sampling**: rate-per-stratum via a salted content hash —
+  no RNG state, no shuffle, reproducible across engines / runs /
+  cluster sizes, and each kept row carries 1/rate so downstream
+  estimators stay unbiased.
+- **PII redaction**: pure per-row regexp_replace chains — codegen'd,
+  embarrassingly parallel, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import SUBSTR_W
+from ..registry import make_registry
+from ..session import load_table
+from .dedup import _sql_shingles, shingles_df
+
+REGISTRY, _reg = make_registry()
+
+
+# ---- train/test decontamination ----
+
+_SPLIT_SQL = """split AS (
+  SELECT doc_id,
+         CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                    - CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97
+                           THEN 87 ELSE 48 END) * 16
+                 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                    - CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) >= 97
+                           THEN 87 ELSE 48 END) < 205
+              THEN 'train' ELSE 'heldout' END AS split
+  FROM documents)"""
+
+
+def _split_col() -> Column:
+    """train/heldout assignment — same first-md5-byte bucketing as
+    td_corpus_split (val+test fold into 'heldout' here: contamination
+    is checked for everything the model is evaluated on)."""
+
+    def nibble(pos: int):
+        a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1))
+        return a - F.when(a >= 97, 87).otherwise(48)
+
+    bucket = nibble(1) * 16 + nibble(2)
+    return F.when(bucket < 205, "train").otherwise("heldout")
+
+
+@_reg(
+    "td_decontaminate",
+    f"""WITH {_sql_shingles(SUBSTR_W).strip().lstrip(',')}, {_SPLIT_SQL},
+tr AS (
+  SELECT DISTINCT sh.sh
+  FROM sh JOIN split USING (doc_id) WHERE split.split = 'train'),
+he AS (
+  SELECT sh.doc_id, sh.sh
+  FROM sh JOIN split USING (doc_id) WHERE split.split = 'heldout')
+SELECT he.doc_id,
+       count(*) AS n_windows,
+       count(tr.sh) AS n_contaminated,
+       round(count(tr.sh) / CAST(count(*) AS DOUBLE), 6) AS contaminated_frac,
+       count(tr.sh) >= 1 AS contaminated
+FROM he LEFT JOIN tr ON he.sh = tr.sh
+GROUP BY he.doc_id""",
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Heldout-vs-train n-gram contamination check: for every heldout
+    doc, the count and fraction of its distinct {SUBSTR_W}-token
+    windows that also occur in ANY train doc — the standard
+    decontamination signal run before a corpus ships as an eval set.
+
+    The train side is reduced to DISTINCT shingles first (one row per
+    shingle — the build side of the join carries no duplicate keys, so
+    a boilerplate window shared by 10^6 train docs is still ONE row),
+    then a left join on the shingle key scores each heldout window.
+    Both shuffles key on the high-cardinality shingle; nothing is ever
+    doc×doc."""
+    sh = shingles_df(spark, sf, k=SUBSTR_W).withColumn("split", _split_col())
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("sh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    held = sh.filter(F.col("split") == "heldout").select("doc_id", "sh")
+    return (
+        held.join(train_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("hit").cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.count("hit") / F.count("*").cast("double"), 6
+            ).alias("contaminated_frac"),
+            (F.count("hit") >= 1).alias("contaminated"),
+        )
+    )
+
+
+# ---- stratified sampling with inverse-probability weights ----
+
+# per-language keep rates out of 256 (en downsampled least; the tail
+# languages kept at a higher relative rate is the usual rebalancing)
+SAMPLE_RATES: dict[str, int] = {"en": 96, "de": 160, "fr": 160, "es": 160, "zh": 192}
+SAMPLE_DEFAULT_RATE = 128
+SAMPLE_SALT = "strat-v1:"
+
+
+def _sample_bucket_sql(expr: str) -> str:
+    h = f"md5('{SAMPLE_SALT}' || {expr})"
+    a1 = f"ascii(substr({h}, 1, 1))"
+    a2 = f"ascii(substr({h}, 2, 1))"
+    return (
+        f"({a1} - CASE WHEN {a1} >= 97 THEN 87 ELSE 48 END) * 16"
+        f" + ({a2} - CASE WHEN {a2} >= 97 THEN 87 ELSE 48 END)"
+    )
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {SAMPLE_DEFAULT_RATE} END"
+
+
+@_reg(
+    "td_stratified_sample",
+    f"""WITH t AS (
+  SELECT doc_id, lang,
+         {_sample_bucket_sql("CAST(doc_id AS VARCHAR)")} AS bucket,
+         {_rate_case_sql()} AS rate
+  FROM documents)
+SELECT doc_id, lang,
+       round(256.0 / rate, 6) AS weight
+FROM t WHERE bucket < rate""",
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    applied via a salted content hash (first md5 byte of
+    '{SAMPLE_SALT}'+doc_id → uniform 0-255 bucket, keep iff bucket <
+    rate·256).  No RNG state and no shuffle — the sample is identical
+    across engines, re-runs, and cluster sizes, which is what makes a
+    100 TB curation run auditable.  Each kept row carries the
+    inverse-probability weight 1/rate so downstream token counts and
+    quality stats remain unbiased estimates of the full corpus."""
+    docs = load_table(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+
+    def nibble(pos: int):
+        a = F.ascii(F.substring(h, pos, 1))
+        return a - F.when(a >= 97, 87).otherwise(48)
+
+    bucket = nibble(1) * 16 + nibble(2)
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.lit(256.0) / F.col("rate"), 6).alias("weight"),
+        )
+    )
+
+
+# ---- PII redaction ----
+
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, explicit classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-kind match counts and a `redacted` column with every
+    match replaced by `<KIND>` tokens.  Pure regexp column ops —
+    codegen'd, zero shuffle, no Python crossing."""
+    out = df
+    red = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn("redacted", red)
+
+
+def _pii_sql_counts() -> str:
+    return ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+
+
+def _pii_sql_redacted() -> str:
+    expr = "text"
+    for kind, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{kind.upper()}>', 'g')"
+    return expr
+
+
+@_reg(
+    "td_pii_redact",
+    f"""SELECT doc_id,
+       {_pii_sql_counts()},
+       md5({_pii_sql_redacted()}) AS redacted_md5
+FROM documents""",
+)
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over the documents table: emails / phone numbers /
+    IPv4 literals replaced with typed placeholder tokens, with per-doc
+    match counts for the curation audit trail.  Entirely regexp column
+    functions inside one codegen stage — the 100 TB cost is exactly one
+    pass over the text bytes.  (Output carries md5(redacted) rather
+    than the full redacted text to keep the compare payload small.)"""
+    docs = load_table(spark, sf, "documents")
+    out = redact_pii(docs, "text")
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{k}").cast("bigint").alias(f"n_{k}") for k in PII_PATTERNS],
+        F.md5("redacted").alias("redacted_md5"),
+    )

@@ -146,3 +146,126 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             _secs(F.max("ts")) - _secs(F.min("ts")), 3
         ).alias("duration_secs"),
     )
+
+
+RANGE_WINDOW_SECS = 3600  # signup attribution window (1 h)
+
+
+@_reg(
+    "td_range_join",
+    f"""WITH w AS (
+  SELECT event_id AS window_id, user_id, ts AS start_ts
+  FROM events WHERE event_type = 'signup'),
+c AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'click')
+SELECT w.window_id, w.user_id, w.start_ts,
+       count(c.event_id) AS n_clicks,
+       round(coalesce(sum(c.value), 0), 3) AS click_value
+FROM w LEFT JOIN c
+  ON w.user_id = c.user_id
+ AND epoch(c.ts) >= epoch(w.start_ts)
+ AND epoch(c.ts) <  epoch(w.start_ts) + {RANGE_WINDOW_SECS}
+GROUP BY w.window_id, w.user_id, w.start_ts""",
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join: every click falling inside the 1-hour
+    window each signup opens, per user — left semantics (windows with
+    zero clicks survive with n_clicks = 0).
+
+    Spark has no range-join optimization: the naive `ON user AND ts
+    BETWEEN` formulation plans as a per-key inequality join that goes
+    quadratic on active users.  The scale shape used here is **bucketed
+    interval join**: time is binned at the window duration, each
+    interval explodes into the 1-2 bins it overlaps, each point carries
+    its single bin, and the join becomes an EQUI-join on
+    (user_id, bin) + a residual epoch filter.  Join fan-out is bounded
+    by ceil(duration/bin)+1 = 2 regardless of data volume, the shuffle
+    key is (user, bin) — fine-grained, skew-resistant — and since a
+    point's bin is unique, no pair can appear twice (no dedup pass).
+    DuckDB oracles it with its native inequality join (IEJoin)."""
+    ev = load_table(spark, sf, "events")
+    width = F.lit(RANGE_WINDOW_SECS)
+    win = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        _secs(F.col("ts")).alias("s_lo"),
+    )
+    win = win.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_lo") / width),
+                F.floor((F.col("s_lo") + width) / width),
+            )
+        ),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        _secs(F.col("ts")).alias("c_s"),
+        F.col("event_id").alias("click_id"),
+        "value",
+        F.floor(_secs(F.col("ts")) / width).alias("bin"),
+    )
+    hits = win.join(
+        clk,
+        (win.user_id == clk.c_user)
+        & (win.bin == clk.bin)
+        & (clk.c_s >= win.s_lo)
+        & (clk.c_s < win.s_lo + width),
+        "left",
+    )
+    return hits.groupBy("window_id", "user_id", "start_ts").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 3).alias("click_value"),
+    )
+
+
+@_reg(
+    "td_ts_rollup",
+    """SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket_ts,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), count(*), round(sum(value), 3)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), count(*), round(sum(value), 3)
+FROM events GROUP BY 2""",
+)
+def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution time-series rollup (the hypertable
+    continuous-aggregate shape): minute / hour / day event counts and
+    value sums.  Only the MINUTE grain ever reads the raw table; hour
+    re-aggregates the minute partials and day re-aggregates hour — at
+    100 TB the coarse grains cost shuffles over the (tiny) finer
+    aggregate instead of three full scans, which is exactly how
+    continuous aggregates refresh.  Counts are exact under
+    re-aggregation; sums are floating-point reassociations of the same
+    addends (rounded for the oracle compare)."""
+    ev = load_table(spark, sf, "events").select("ts", "value")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_ts")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    minute = minute.localCheckpoint()  # partials computed once, reused twice
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_ts",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("sv", 3).alias("sum_value"),
+        )
+
+    return (
+        shape(minute, "minute")
+        .unionByName(shape(hour, "hour"))
+        .unionByName(shape(day, "day"))
+    )

@@ -1,0 +1,160 @@
+"""Behavior pins for the round-3 events operators (range join,
+hierarchical rollup) and the curation plane (decontamination,
+stratified sampling, PII redaction) — edge semantics the sf-parity
+test can't isolate."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.functions.curation import (
+    PII_PATTERNS,
+    SAMPLE_DEFAULT_RATE,
+    SAMPLE_RATES,
+    redact_pii,
+)
+from pero_ocr_api_spark.functions.events import (
+    RANGE_WINDOW_SECS,
+    q_range_join,
+    q_ts_rollup,
+)
+from pero_ocr_api_spark.functions.curation import (
+    q_decontaminate,
+    q_stratified_sample,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_range_join_boundaries(spark, tmp_path):
+    """Click at exactly the window start is IN, at start+window is OUT,
+    a click in the window's second time-bucket still matches, and a
+    window with zero clicks survives with n_clicks=0."""
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)  # mid-bucket so window spans 2 bins
+
+    def sec(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, t0, 7, "signup", 0.0, ""),
+        (2, sec(0), 7, "click", 1.0, ""),              # at start: IN
+        (3, sec(RANGE_WINDOW_SECS - 1), 7, "click", 2.0, ""),  # 2nd bin: IN
+        (4, sec(RANGE_WINDOW_SECS), 7, "click", 4.0, ""),      # at end: OUT
+        (5, sec(-1), 7, "click", 8.0, ""),              # before: OUT
+        (6, t0, 9, "signup", 0.0, ""),                  # no clicks at all
+        (7, sec(10), 8, "click", 16.0, ""),             # other user: OUT
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["window_id"]: r for r in q_range_join(spark, sf).collect()}
+    assert got[1]["n_clicks"] == 2 and got[1]["click_value"] == 3.0
+    assert got[6]["n_clicks"] == 0 and got[6]["click_value"] == 0.0
+
+
+def test_ts_rollup_grains_consistent(spark, sf_smoke):
+    out = q_ts_rollup(spark, sf_smoke)
+    agg = {
+        r["grain"]: (r["n"], r["buckets"])
+        for r in out.groupBy("grain")
+        .agg(F.sum("n_events").alias("n"), F.count("*").alias("buckets"))
+        .collect()
+    }
+    # every grain re-aggregates the same events: totals identical
+    assert agg["minute"][0] == agg["hour"][0] == agg["day"][0]
+    # strictly coarser granularity
+    assert agg["minute"][1] > agg["hour"][1] > agg["day"][1]
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_flags_copied_heldout_doc(spark, tmp_path):
+    """A heldout doc that copies 8+ consecutive tokens from a train doc
+    is flagged; a disjoint heldout doc is not.  doc_ids are chosen so
+    the md5 split puts them on the intended side of the fence."""
+    from pero_ocr_api_spark.functions.curation import _split_col
+
+    probe = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), _split_col().alias("split")
+    )
+    sides = {r["doc_id"]: r["split"] for r in probe.collect()}
+    train_id = next(i for i in sides if sides[i] == "train")
+    held_ids = [i for i in sides if sides[i] == "heldout"]
+    copied_id, clean_id = held_ids[0], held_ids[1]
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    clean = " ".join(f"other{i}" for i in range(12))
+    rows = [
+        (train_id, shared, "en", "s", len(shared)),
+        (copied_id, "prefix " + shared, "en", "s", len(shared) + 7),
+        (clean_id, clean, "en", "s", len(clean)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_decontaminate(spark, sf).collect()}
+    assert train_id not in got  # only heldout docs are scored
+    assert got[copied_id]["contaminated"] is True
+    assert got[copied_id]["n_contaminated"] == 5  # 12-token overlap → 5 shared 8-windows
+    assert got[clean_id]["contaminated"] is False
+    assert got[clean_id]["n_contaminated"] == 0
+
+
+def test_stratified_sample_rates_and_weights(spark, sf_correct):
+    out = q_stratified_sample(spark, sf_correct)
+    rows = out.groupBy("lang").agg(
+        F.count("*").alias("kept"), F.first("weight").alias("w")
+    ).collect()
+    from pero_ocr_api_spark.session import load_table
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_correct, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        rate = SAMPLE_RATES.get(r["lang"], SAMPLE_DEFAULT_RATE) / 256.0
+        # md5 is uniform: observed keep-rate within a wide binomial band
+        assert abs(r["kept"] / totals[r["lang"]] - rate) < 0.2
+        assert r["w"] == pytest.approx(1.0 / rate, abs=1e-4)
+    # deterministic: identical doc_id set on a re-run
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in q_stratified_sample(spark, sf_correct).collect()}
+    assert a == b
+
+
+def test_pii_redaction_fixture(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 10.0.255.7 went down; contact ops@corp.io"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["redacted"] == "mail me at <EMAIL> or call <PHONE>"
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_email"] == 1
+    assert got[2]["redacted"] == "server at <IPV4> went down; contact <EMAIL>"
+    assert got[3]["redacted"] == "no pii here at all"
+    assert all(got[3][f"n_{k}"] == 0 for k in PII_PATTERNS)
+
+
+def test_range_join_plan_is_equi_join(spark, sf_smoke):
+    """The bucketed formulation must plan as a hash EQUI-join (bin key
+    in the join condition), never BroadcastNestedLoop/Cartesian."""
+    plan = q_range_join(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
