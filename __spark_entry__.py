@@ -65,9 +65,11 @@ _DRIVER_WINDOW = [
     # new in round 3: as-of join + sessionization + bucketed range join
     # + hierarchical rollup (events plane)
     "td_asof_attribution", "td_sessionize", "td_range_join", "td_ts_rollup",
+    "td_funnel", "td_retention_cohorts",
     # new in round 3: curation plane (decontamination, stratified
-    # sampling, PII redaction)
+    # sampling, PII redaction, winsorization) + PQ encoding
     "td_decontaminate", "td_stratified_sample", "td_pii_redact",
+    "td_length_winsorize", "td_sim_pq_encode",
     # changed in round 2 (claim re-plan)
     "cp_sm_claim",
     # new in round 3: INI engine-config knob catalog; first-ever driver
@@ -82,9 +84,8 @@ _DRIVER_WINDOW = [
     "cp_admin_add_key",
     # new in round 2: jusText-style main-content extraction + dup clusters
     "td_mc_blocks", "td_mc_extract", "td_dedup_clusters",
-    "td_dedup_canonical", "td_emb_quantize", "td_text_vocab",
-    "td_corpus_filter", "td_corpus_split",
-    "td_text_repetition", "td_pack_sequences",
+    "td_dedup_canonical", "td_emb_quantize",
+    "td_pack_sequences",
     "td_text_idf", "td_sim_kmeans_step",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk", "td_sim_lsh_signature", "td_sim_lsh_buckets",

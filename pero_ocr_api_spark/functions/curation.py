@@ -238,3 +238,49 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
         *[F.col(f"n_{k}").cast("bigint").alias(f"n_{k}") for k in PII_PATTERNS],
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+# ---- per-stratum winsorization ----
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@_reg(
+    "td_length_winsorize",
+    f"""WITH b AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, {WINSOR_LO}), 6) AS lo,
+         round(quantile_cont(n_chars, {WINSOR_HI}), 6) AS hi
+  FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
+       round(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 6)
+         AS clamped
+FROM documents d JOIN b USING (lang)""",
+)
+def q_length_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length winsorization: exact p05/p95 bounds per
+    stratum (linear-interpolated percentile — the same definition as
+    DuckDB's quantile_cont), joined back and clamped.  The bounds table
+    has one row per language — a classic tiny dimension AQE broadcasts
+    — so the 100 TB cost is the one percentile aggregate plus a
+    map-side join.  Winsorized length is the robust feature quality
+    filters threshold on (outlier docs no longer drag the tails)."""
+    docs = load_table(spark, sf, "documents")
+    b = docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(WINSOR_LO)), 6).alias("lo"),
+        F.round(F.percentile("n_chars", F.lit(WINSOR_HI)), 6).alias("hi"),
+    )
+    return docs.join(b, "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "lo",
+        "hi",
+        F.round(
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("lo")),
+                F.col("hi"),
+            ),
+            6,
+        ).alias("clamped"),
+    )

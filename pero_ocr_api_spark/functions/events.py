@@ -269,3 +269,96 @@ def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(shape(hour, "hour"))
         .unionByName(shape(day, "day"))
     )
+
+
+@_reg(
+    "td_funnel",
+    """WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+  GROUP BY e.user_id)
+SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+       1 + CAST(c.user_id IS NOT NULL AS INT)
+         + CAST(p.user_id IS NOT NULL AS INT) AS stage
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+)
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis (signup → first click at-or-after it →
+    first purchase at-or-after that click), per user.  Each stage is a
+    per-user MIN aggregate joined to the next stage's events on the
+    user key — every join is an equi-join whose build side is one row
+    per user (the previous stage's aggregate), so fan-out is the
+    user's own event count and the shuffle key is the natural user_id.
+    Never a self-BNLJ over event pairs."""
+    ev = load_table(spark, sf, "events")
+
+    def stage(etype: str, lower: DataFrame | None, bound: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if lower is not None:
+            e = e.join(lower, "user_id").filter(F.col("ts") >= F.col(bound))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"{etype}_ts"))
+
+    s = stage("signup", None, "")
+    c = stage("click", s, "signup_ts")
+    p = stage("purchase", c, "click_ts")
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+@_reg(
+    "td_retention_cohorts",
+    """WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset""",
+)
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention cohort triangle: users grouped by first-seen day, and
+    for each (cohort, day-offset) the count of distinct users active
+    that day.  Two shuffles: the per-user first-event aggregate, and
+    the (cohort, offset) count-distinct — the join between them keys on
+    user_id with a one-row-per-user build side.  The cohort dimension
+    is bounded by calendar days, so the final agg is small no matter
+    the corpus size."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(f, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

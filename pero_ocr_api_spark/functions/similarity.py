@@ -475,3 +475,102 @@ def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.round(F.sum("v"), 4) / F.count("*"), 6).alias("centroid"),
     )
+
+
+# ---- product quantization (PQ) encoding ----
+
+PQ_M = 4        # subspaces
+PQ_SUB = 16     # dims per subspace (EMB_DIM / PQ_M)
+PQ_K = 16       # centroids per subspace codebook
+
+
+def _pq_sql() -> str:
+    return f"""WITH ms AS (SELECT unnest(range({PQ_M})) AS m),
+c AS (SELECT vec_id AS cid, embedding AS cemb
+      FROM embeddings WHERE vec_id < {PQ_K}),
+e_sub AS (SELECT e.vec_id, ms.m,
+                 list_slice(e.embedding, ms.m*{PQ_SUB}+1, ms.m*{PQ_SUB}+{PQ_SUB}) AS sub
+          FROM embeddings e CROSS JOIN ms),
+c_sub AS (SELECT ms.m, c.cid,
+                 list_slice(c.cemb, ms.m*{PQ_SUB}+1, ms.m*{PQ_SUB}+{PQ_SUB}) AS csub
+          FROM c CROSS JOIN ms),
+pairs AS (SELECT vec_id, e_sub.m, cid,
+                 list_sum([(CAST(sub[i] AS DOUBLE) - CAST(csub[i] AS DOUBLE))
+                           * (CAST(sub[i] AS DOUBLE) - CAST(csub[i] AS DOUBLE))
+                           for i in range(1, {PQ_SUB + 1})]) AS dist
+          FROM e_sub JOIN c_sub ON e_sub.m = c_sub.m),
+best AS (SELECT vec_id, m, min({{'d': dist, 'c': cid}}) AS b
+         FROM pairs GROUP BY vec_id, m)
+SELECT vec_id,
+       array_to_string(list(b.c ORDER BY m), '-') AS codes,
+       round(sum(b.d), 6) AS quant_err
+FROM best GROUP BY vec_id"""
+
+
+def q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding: each 64-dim vector becomes
+    PQ_M={PQ_M} one-byte codes (nearest of PQ_K={PQ_K} codebook
+    centroids per 16-dim subspace, deterministic codebook = the first
+    PQ_K vectors by vec_id as seeds), plus the total quantization
+    error.  This is the memory layer under IVF-PQ ANN search: 64 floats
+    → 4 codes is a 64× compression, and ADC distance against a query
+    becomes 4 table lookups.
+
+    Scale shape: the codebook is PQ_M×PQ_K = 64 tiny rows broadcast and
+    joined on the subspace id m (an EQUI join with fixed fan-out PQ_K,
+    never a full cross product over vectors); argmin is an aggregate of
+    min(struct(dist, cid)) — deterministic under ties — and the codes
+    re-assemble with one vec_id shuffle.  Distances are computed in
+    float64 from the float32 inputs in BOTH engines, so the oracle
+    compare is exact."""
+    emb = load_table(spark, sf, "embeddings")
+    ms = F.array(*[F.lit(m) for m in range(PQ_M)])
+    sub = F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB)
+    e_sub = (
+        emb.select("vec_id", "embedding", F.explode(ms).alias("m"))
+        .select("vec_id", "m", sub.alias("sub"))
+    )
+    c_sub = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            "embedding",
+            F.explode(ms).alias("m"),
+        )
+        .select("m", "cid", sub.alias("csub"))
+    )
+    diff2 = F.zip_with(
+        "sub",
+        "csub",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    best = (
+        e_sub.join(F.broadcast(c_sub), "m")
+        .select("vec_id", "m", dist.alias("dist"), "cid")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.col("dist").alias("d"), F.col("cid").alias("c"))
+            ).alias("b")
+        )
+    )
+    codes = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("m").alias("m"), F.col("b.c").alias("c"))
+                )
+            ),
+            lambda s: s["c"].cast("string"),
+        ),
+        "-",
+    )
+    return best.groupBy("vec_id").agg(
+        codes.alias("codes"),
+        F.round(F.sum("b.d"), 6).alias("quant_err"),
+    )
+
+
+REGISTRY["td_sim_pq_encode"] = (q_pq_encode, _pq_sql())

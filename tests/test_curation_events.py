@@ -158,3 +158,89 @@ def test_range_join_plan_is_equi_join(spark, sf_smoke):
     plan = q_range_join(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """A purchase BEFORE the user's first post-signup click does not
+    complete the funnel; a click at exactly the signup timestamp does
+    count (inclusive at-or-after)."""
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def sec(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: purchase precedes the click -> stage 2, purchase AFTER
+        # the click at +20 completes via the later purchase at +30
+        (1, t0, 1, "signup", 0.0, ""),
+        (2, sec(10), 1, "purchase", 0.0, ""),
+        (3, sec(20), 1, "click", 0.0, ""),
+        # user 2: click exactly at signup ts counts; no purchase
+        (4, t0, 2, "signup", 0.0, ""),
+        (5, t0, 2, "click", 0.0, ""),
+        # user 3: click before signup does NOT count -> stage 1
+        (6, sec(-5), 3, "click", 0.0, ""),
+        (7, t0, 3, "signup", 0.0, ""),
+        # user 1 completing purchase
+        (8, sec(30), 1, "purchase", 0.0, ""),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    from pero_ocr_api_spark.functions.events import q_funnel
+
+    got = {r["user_id"]: r for r in q_funnel(spark, sf).collect()}
+    assert got[1]["stage"] == 3
+    assert got[1]["purchase_ts"] == sec(30)  # not the pre-click purchase
+    assert got[2]["stage"] == 2 and got[2]["click_ts"] == t0
+    assert got[3]["stage"] == 1 and got[3]["click_ts"] is None
+
+
+def test_retention_cohort_day_zero_covers_all_users(spark, sf_smoke):
+    """Every user is active on their own cohort day, so summing
+    day_offset=0 counts across cohorts equals the distinct user count."""
+    from pero_ocr_api_spark.functions.events import q_retention_cohorts
+    from pero_ocr_api_spark.session import load_table
+
+    out = q_retention_cohorts(spark, sf_smoke)
+    day0 = (
+        out.filter(F.col("day_offset") == 0)
+        .agg(F.sum("n_users").alias("n"))
+        .collect()[0]["n"]
+    )
+    total = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id").distinct().count()
+    )
+    assert day0 == total
+    assert out.filter(F.col("day_offset") < 0).count() == 0
+
+
+def test_winsorize_clamps_into_band(spark, sf_smoke):
+    from pero_ocr_api_spark.functions.curation import q_length_winsorize
+
+    rows = q_length_winsorize(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["clamped"] <= r["hi"]
+        if r["lo"] <= r["n_chars"] <= r["hi"]:
+            assert r["clamped"] == float(r["n_chars"])
+
+
+def test_pq_encode_codebook_vectors_are_exact(spark, sf_smoke):
+    """The PQ_K codebook seed vectors encode to themselves: codes
+    m->own cid with zero quantization error; every other vector's
+    error is >= 0 and codes parse as PQ_M dash-joined ints."""
+    from pero_ocr_api_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        q_pq_encode,
+    )
+
+    got = {r["vec_id"]: r for r in q_pq_encode(spark, sf_smoke).collect()}
+    for cid in range(PQ_K):
+        assert got[cid]["codes"] == "-".join([str(cid)] * PQ_M)
+        assert got[cid]["quant_err"] == 0.0
+    for r in got.values():
+        parts = r["codes"].split("-")
+        assert len(parts) == PQ_M
+        assert all(0 <= int(p) < PQ_K for p in parts)
+        assert r["quant_err"] >= 0.0
