@@ -92,11 +92,12 @@ _DRIVER_WINDOW = [
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
     "td_mm_decode", "td_mm_resize_plan", "td_mm_frame_sample",
     "td_mm_features",
-    "cp_sql_j1_three_way_join", "cp_sql_tpch_q1_pricing",
-    "cp_sql_a5_counts_24h", "cp_sql_a1_a3_request_status",
-    "cp_sql_j6_rank_fallback", "cp_sql_a5a6_cube",
-    "cp_sql_tpch_q5_region_volume",
+    "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
     "cp_sql_exists_late_ship", "cp_sql_corr_max_order",
+    # new in round 3: TPC-H-shape SQL surface (q6/q7/q10/q14/q15)
+    "cp_sql_tpch_q6_revenue", "cp_sql_tpch_q14_promo",
+    "cp_sql_tpch_q10_returns", "cp_sql_tpch_q7_volume",
+    "cp_sql_tpch_q15_top_supplier",
     # changed-this-round dedup family (shingle blocking rewrite)
     "td_dedup_ngram_jaccard",
 ]

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -248,18 +249,122 @@ class CheckpointedExtractor:
         """Union of committed group partitions; ``as_of`` is Iceberg
         time travel — only groups committed at snapshot_id <= as_of are
         visible (pre-snapshot manifests count as snapshot 0, i.e.
-        always visible)."""
+        always visible).  If a compaction manifest covers part of the
+        requested horizon, the compacted rewrite is read INSTEAD of the
+        per-group files it covers (Iceberg: a rewrite-data-files
+        snapshot replaces the small files in every later read); groups
+        committed after the compaction point are unioned on top."""
         committed = self.committed_groups()
+        effective = (
+            as_of
+            if as_of is not None
+            else max(
+                (lin.get("snapshot_id", 0) for lin in committed.values()),
+                default=0,
+            )
+        )
+        comp = self._best_compaction(effective)
+        floor = comp["covers_up_to"] if comp else -1
         groups = sorted(
             g for g, lin in committed.items()
-            if as_of is None or lin.get("snapshot_id", 0) <= as_of
+            if floor < lin.get("snapshot_id", 0) <= effective
         )
-        paths = [
-            os.path.join(self.output_dir, sub, f"group={g}") for g in groups
-        ]
+        paths = []
+        if comp:
+            paths.append(os.path.join(self.output_dir, comp["paths"][sub]))
+        for g in groups:
+            p = os.path.join(self.output_dir, sub, f"group={g}")
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"snapshot {effective} needs group {g} whose files "
+                    "were expired by a later compaction — history below "
+                    "the expiry horizon is gone (expire_snapshots)"
+                )
+            paths.append(p)
         if not paths:
             raise ValueError("no committed groups")
         return spark.read.parquet(*paths)
+
+    # ---- compaction (rewrite-data-files) + snapshot expiry ----
+    def _compaction_manifests(self) -> list[dict]:
+        out = []
+        for fname in sorted(os.listdir(self.manifest_dir)):
+            if fname.startswith("compaction-") and fname.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, fname)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda c: c["covers_up_to"])
+
+    def _best_compaction(self, effective: int) -> dict | None:
+        """The newest compaction whose coverage fits inside the
+        requested snapshot horizon (a compaction covering snapshots the
+        reader must not see cannot be used for that read)."""
+        fit = [
+            c for c in self._compaction_manifests()
+            if c["covers_up_to"] <= effective
+        ]
+        return fit[-1] if fit else None
+
+    def compact(self, spark: SparkSession, target_files: int = 2) -> dict:
+        """Rewrite every committed group's spans/docs into
+        ``target_files`` files each — the Iceberg rewrite-data-files
+        action.  At 10^12-doc scale the per-group commit layout
+        accumulates one file set per group per run; readers pay the
+        small-file tax (open cost, no row-group locality) forever
+        unless the table is periodically compacted.  The rewrite is
+        atomic: data lands first, the compaction manifest second
+        (os.replace), so a reader either sees the old group files or
+        the complete rewrite, never half.  Time travel BELOW the
+        compaction point keeps reading the original group files until
+        `expire_snapshots` reclaims them."""
+        committed = self.committed_groups()
+        if not committed:
+            raise ValueError("nothing committed to compact")
+        covers = max(lin.get("snapshot_id", 0) for lin in committed.values())
+        for c in self._compaction_manifests():
+            if c["covers_up_to"] == covers:
+                return c  # already compacted at this snapshot
+        manifest = {
+            "covers_up_to": covers,
+            "target_files": target_files,
+            "created_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "paths": {
+                "spans": os.path.join("spans_compact", f"snap={covers}"),
+                "docs": os.path.join("docs_compact", f"snap={covers}"),
+            },
+        }
+        for sub in ("spans", "docs"):
+            df = self._read_committed(spark, sub)
+            df.repartition(target_files).write.mode("overwrite").parquet(
+                os.path.join(self.output_dir, manifest["paths"][sub])
+            )
+        mpath = os.path.join(self.manifest_dir, f"compaction-{covers}.json")
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        return manifest
+
+    def expire_snapshots(self) -> list[int]:
+        """Delete the original per-group files superseded by the newest
+        compaction (Iceberg expire_snapshots): reclaims the small files
+        and REMOVES time-travel capability below the compaction point —
+        reads with as_of under the horizon raise.  Lineage manifests are
+        kept (history metadata survives; only data files go)."""
+        comps = self._compaction_manifests()
+        if not comps:
+            raise ValueError("no compaction to expire against")
+        horizon = comps[-1]["covers_up_to"]
+        expired = []
+        for g, lin in self.committed_groups().items():
+            if lin.get("snapshot_id", 0) <= horizon:
+                for sub in ("spans", "docs"):
+                    p = os.path.join(self.output_dir, sub, f"group={g}")
+                    if os.path.exists(p):
+                        shutil.rmtree(p)
+                        expired.append(g)
+        return sorted(set(expired))
 
     def read_spans(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         return self._read_committed(spark, "spans", as_of)

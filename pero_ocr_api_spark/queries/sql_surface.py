@@ -84,3 +84,78 @@ WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
 
 for _name, _sql in _CORRELATED.items():
     REGISTRY[_name] = (_sparksql_runner(_sql), _sql)
+
+
+# TPC-H-shape dual-dialect queries over the driver's simplified TPC-H
+# tables (no partsupp/shipmode columns, dates span 1995-2001 —
+# TESTDATA.md).  Money sums are rounded to WHOLE currency units (a 2dp grid sits
+# close enough to float summation-order error that midpoint flips are
+# observable; the 1.0 grid is 3 orders of magnitude safer), ratios at
+# 4dp — in the ONE literal string both engines run.
+_TPCH_EXTRA = {
+    # Q6: forecasting revenue change — pure scan+filter+agg; the filter
+    # trio must reach the parquet scan (plan-linted via PushedFilters
+    # checks in PLANS.md §3).
+    "cp_sql_tpch_q6_revenue": """
+SELECT CAST(round(sum(l_extendedprice * l_discount), 0) AS BIGINT) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+    # Q14: promo revenue share — join to the part dim + conditional agg.
+    "cp_sql_tpch_q14_promo": """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-06-01'""",
+    # Q10: returned-item revenue by customer — 4-way FK join + grouped
+    # money agg + deterministic top-20 (rounded revenue, custkey tiebreak).
+    "cp_sql_tpch_q10_returns": """
+SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, custkey
+LIMIT 20""",
+    # Q7: volume shipping between two nations, by ship year — the
+    # 6-table join with two roles for the nation dim.
+    "cp_sql_tpch_q7_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT)
+         AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)""",
+    # Q15: top supplier by period revenue — CTE + scalar-subquery max
+    # over 2dp-rounded totals (tie-safe across engines).
+    "cp_sql_tpch_q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS total
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+WHERE r.total = (SELECT max(total) FROM rev)""",
+}
+
+for _name, _sql in _TPCH_EXTRA.items():
+    REGISTRY[_name] = (_sparksql_runner(_sql), _sql)

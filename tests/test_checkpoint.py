@@ -227,3 +227,60 @@ def test_lineage_records_n_groups(spark, sf_smoke, tmp_path_factory):
     rows = ck.lineage_df(spark).collect()
     assert len(rows) == 4
     assert all(r.n_groups == 4 for r in rows)
+
+
+def test_compaction_and_snapshot_expiry(spark, sf_smoke, tmp_path_factory):
+    """Iceberg rewrite-data-files semantics: compaction rewrites the
+    committed table into few files, reads are value-identical before
+    and after, time travel below the compaction point keeps working
+    from the original group files until expire_snapshots reclaims them
+    (after which sub-horizon reads raise), and groups committed AFTER
+    a compaction union on top of the rewrite."""
+    import glob
+    import os
+
+    from pero_ocr_api_spark.synth import interleaved_documents
+
+    out = str(tmp_path_factory.mktemp("ckcompact"))
+    docs = interleaved_documents(spark, sf_smoke).orderBy("doc_id").limit(20)
+    ck = CheckpointedExtractor(out, n_groups=4)
+
+    # commit the first two groups, compact, then finish the run: the
+    # final table must union the rewrite with the post-compaction groups
+    with pytest.raises(SimulatedFailure):
+        ck.run(spark, docs, run_id="r1", fail_after=2)
+    before = _collect_sorted(ck.read_spans(spark))
+    comp = ck.compact(spark, target_files=1)
+    assert comp["covers_up_to"] == 2
+    assert _collect_sorted(ck.read_spans(spark)) == before
+
+    ck.run(spark, docs, run_id="r2")
+    full_spans = _collect_sorted(ck.read_spans(spark))
+    full_docs = _collect_sorted(ck.read_docs(spark))
+    n_small = len(glob.glob(os.path.join(out, "spans", "group=*", "*.parquet")))
+
+    comp2 = ck.compact(spark, target_files=1)
+    assert comp2["covers_up_to"] == 4
+    # reads identical through the rewrite
+    assert _collect_sorted(ck.read_spans(spark)) == full_spans
+    assert _collect_sorted(ck.read_docs(spark)) == full_docs
+    # the rewrite actually consolidated files
+    n_compact = len(glob.glob(
+        os.path.join(out, "spans_compact", "snap=4", "*.parquet")))
+    assert n_compact == 1 < n_small
+    # time travel below the horizon still works (original files intact)
+    asof2 = ck.read_docs(spark, as_of=2).count()
+    assert 0 < asof2 < ck.read_docs(spark).count()
+
+    expired = ck.expire_snapshots()
+    assert expired  # originals reclaimed
+    # current reads still serve from the rewrite
+    assert _collect_sorted(ck.read_spans(spark)) == full_spans
+    # as_of=2 STILL works: the first compaction (covers_up_to=2) is a
+    # complete rewrite of that snapshot and survives expiry
+    assert ck.read_docs(spark, as_of=2).count() == asof2
+    # but below every rewrite the history is truly gone
+    with pytest.raises(ValueError, match="expired"):
+        ck.read_docs(spark, as_of=1).count()
+    # lineage metadata survives expiry
+    assert ck.lineage_df(spark).count() == 4
