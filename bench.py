@@ -24,6 +24,8 @@ from pero_ocr_api_spark.plans.pipeline import extract
 from pero_ocr_api_spark.queries.controlplane import REGISTRY as CP
 from pero_ocr_api_spark.functions.dedup import REGISTRY as DEDUP
 from pero_ocr_api_spark.functions.similarity import REGISTRY as SIM
+from pero_ocr_api_spark.functions.curation import REGISTRY as CUR
+from pero_ocr_api_spark.functions.events import REGISTRY as EV
 from pero_ocr_api_spark.functions.maincontent import REGISTRY as MC
 from pero_ocr_api_spark.functions.text import REGISTRY as TEXT
 from pero_ocr_api_spark.session import get_spark
@@ -120,6 +122,11 @@ def main() -> None:
         "td_sim_topk": SIM["td_sim_bruteforce_topk"][0],
         "td_text_quality": TEXT["td_text_quality"][0],
         "td_mc_extract": MC["td_mc_extract"][0],
+        # round-3 planes: events (as-of/session/range) + curation
+        "td_asof": EV["td_asof_attribution"][0],
+        "td_sessionize": EV["td_sessionize"][0],
+        "td_range_join": EV["td_range_join"][0],
+        "td_decontaminate": CUR["td_decontaminate"][0],
     }
     for _ in range(reps):
         for name, fn in others.items():
