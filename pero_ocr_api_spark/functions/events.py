@@ -66,14 +66,23 @@ def q_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
     holds, and `last(..., ignorenulls)` over the running frame carries
     the latest click struct to each purchase row.  Purchases with no
     prior click keep NULL click columns (left semantics)."""
-    ev = load_table(spark, sf, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("side")
+    return asof_attribution(load_table(spark, sf, "events"))
+
+
+def asof_attribution(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of `td_asof_attribution`.  The side tag is
+    derived in a SINGLE scan (a Union of two filtered scans would read
+    the source twice AND discard the child partitioning — Spark does
+    not propagate hash partitioning through Union — forcing a shuffle
+    even over a bucketed table).  With one scan, an input bucketed by
+    user_id runs the whole as-of with NO Exchange
+    (`test_bucketed_events_windows_shuffle_free`)."""
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("side")
-    )
-    both = clicks.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
@@ -127,7 +136,15 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     window partitioning, and the per-session aggregate reuses the same
     distribution — one shuffle end-to-end.  Streaming twin:
     `F.session_window(ts, '30 minutes')` in a watermarked agg."""
-    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    return sessionize_events(load_table(spark, sf, "events"))
+
+
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """DataFrame-level core of `td_sessionize`.  Both windows and the
+    final per-session aggregate need only a user_id clustering, so over
+    an input bucketed by user_id the WHOLE operator is shuffle-free
+    (`test_bucketed_events_windows_shuffle_free`)."""
+    ev = events.select("user_id", "event_id", "ts")
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w_lag = Window.partitionBy("user_id").orderBy(*order)
     w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
