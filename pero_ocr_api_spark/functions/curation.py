@@ -30,20 +30,16 @@ from ..constants import SUBSTR_W
 from ..registry import make_registry
 from ..session import load_table
 from .dedup import _sql_shingles, shingles_df
+from .hashing import md5_byte_col, md5_byte_sql
 
 REGISTRY, _reg = make_registry()
 
 
 # ---- train/test decontamination ----
 
-_SPLIT_SQL = """split AS (
+_SPLIT_SQL = f"""split AS (
   SELECT doc_id,
-         CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-                    - CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97
-                           THEN 87 ELSE 48 END) * 16
-                 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
-                    - CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) >= 97
-                           THEN 87 ELSE 48 END) < 205
+         CASE WHEN {md5_byte_sql("CAST(doc_id AS VARCHAR)")} < 205
               THEN 'train' ELSE 'heldout' END AS split
   FROM documents)"""
 
@@ -52,12 +48,7 @@ def _split_col() -> Column:
     """train/heldout assignment — same first-md5-byte bucketing as
     td_corpus_split (val+test fold into 'heldout' here: contamination
     is checked for everything the model is evaluated on)."""
-
-    def nibble(pos: int):
-        a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1))
-        return a - F.when(a >= 97, 87).otherwise(48)
-
-    bucket = nibble(1) * 16 + nibble(2)
+    bucket = md5_byte_col(F.col("doc_id").cast("string"))
     return F.when(bucket < 205, "train").otherwise("heldout")
 
 
@@ -112,21 +103,16 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---- stratified sampling with inverse-probability weights ----
 
-# per-language keep rates out of 256 (en downsampled least; the tail
-# languages kept at a higher relative rate is the usual rebalancing)
+# per-language keep rates out of 256 (en, the head language, is
+# downsampled the MOST — lowest keep rate; the tail languages keep a
+# higher fraction, the usual rebalancing direction)
 SAMPLE_RATES: dict[str, int] = {"en": 96, "de": 160, "fr": 160, "es": 160, "zh": 192}
 SAMPLE_DEFAULT_RATE = 128
 SAMPLE_SALT = "strat-v1:"
 
 
 def _sample_bucket_sql(expr: str) -> str:
-    h = f"md5('{SAMPLE_SALT}' || {expr})"
-    a1 = f"ascii(substr({h}, 1, 1))"
-    a2 = f"ascii(substr({h}, 2, 1))"
-    return (
-        f"({a1} - CASE WHEN {a1} >= 97 THEN 87 ELSE 48 END) * 16"
-        f" + ({a2} - CASE WHEN {a2} >= 97 THEN 87 ELSE 48 END)"
-    )
+    return md5_byte_sql(f"'{SAMPLE_SALT}' || {expr}")
 
 
 def _rate_case_sql() -> str:
@@ -157,13 +143,9 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     inverse-probability weight 1/rate so downstream token counts and
     quality stats remain unbiased estimates of the full corpus."""
     docs = load_table(spark, sf, "documents")
-    h = F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
-
-    def nibble(pos: int):
-        a = F.ascii(F.substring(h, pos, 1))
-        return a - F.when(a >= 97, 87).otherwise(48)
-
-    bucket = nibble(1) * 16 + nibble(2)
+    bucket = md5_byte_col(
+        F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))
+    )
     rate = F.lit(SAMPLE_DEFAULT_RATE)
     for lang, r in SAMPLE_RATES.items():
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)
@@ -192,22 +174,30 @@ PII_PATTERNS: dict[str, str] = {
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds per-kind match counts and a `redacted` column with every
     match replaced by `<KIND>` tokens.  Pure regexp column ops —
-    codegen'd, zero shuffle, no Python crossing."""
+    codegen'd, zero shuffle, no Python crossing.
+
+    Each kind is counted on the text AFTER the previous kinds were
+    replaced — exactly what the sequential redaction sees — so
+    `n_<kind>` always equals the number of `<KIND>` placeholders in
+    `redacted` (counting on the raw text would claim a phone redaction
+    for '1-234-5678@mail.com' whose digits the email replacement
+    already consumed)."""
     out = df
     red = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
-        out = out.withColumn(
-            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
-        )
+        out = out.withColumn(f"n_{kind}", F.regexp_count(red, F.lit(pat)))
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn("redacted", red)
 
 
 def _pii_sql_counts() -> str:
-    return ",\n       ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
-        for kind, pat in PII_PATTERNS.items()
-    )
+    """Mirror of redact_pii's counting: kind k is counted on the text
+    with kinds 1..k-1 already replaced, so counts match the artifact."""
+    out, red = [], "text"
+    for kind, pat in PII_PATTERNS.items():
+        out.append(f"len(regexp_extract_all({red}, '{pat}')) AS n_{kind}")
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    return ",\n       ".join(out)
 
 
 def _pii_sql_redacted() -> str:

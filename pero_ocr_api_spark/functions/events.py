@@ -209,15 +209,19 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("start_ts"),
         _secs(F.col("ts")).alias("s_lo"),
     )
-    win = win.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("s_lo") / width),
-                F.floor((F.col("s_lo") + width) / width),
-            )
-        ),
+    # a NULL-ts window must SURVIVE with n_clicks=0 (left semantics,
+    # matching the oracle's plain LEFT JOIN): explode of a NULL
+    # sequence would silently drop the row, so NULL maps to a one-row
+    # NULL bin that joins nothing
+    bins = F.when(
+        F.col("s_lo").isNull(), F.array(F.lit(None).cast("long"))
+    ).otherwise(
+        F.sequence(
+            F.floor(F.col("s_lo") / width),
+            F.floor((F.col("s_lo") + width) / width),
+        )
     )
+    win = win.withColumn("bin", F.explode(bins))
     clk = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         _secs(F.col("ts")).alias("c_s"),
@@ -265,7 +269,11 @@ def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     minute = ev.groupBy(
         F.date_trunc("minute", "ts").alias("bucket_ts")
     ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
-    minute = minute.localCheckpoint()  # partials computed once, reused twice
+    # lazy cache (NOT an eager localCheckpoint: building the plan must
+    # not run a job, and cached blocks stay evictable) — the minute
+    # partials materialize once and both coarser grains re-aggregate
+    # the in-memory copy
+    minute = minute.persist()
     hour = minute.groupBy(
         F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))

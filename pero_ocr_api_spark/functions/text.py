@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..constants import STOPWORDS, WS_CLASS
 from ..session import load_table
+from .hashing import md5_byte_col, md5_byte_sql
 
 from ..registry import make_registry
 
@@ -212,16 +213,11 @@ def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_A1 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))"
-_A2 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))"
-
-
 @_reg(
     "td_corpus_split",
     f"""WITH t AS (
   SELECT doc_id,
-         ({_A1} - CASE WHEN {_A1} >= 97 THEN 87 ELSE 48 END) * 16
-         + ({_A2} - CASE WHEN {_A2} >= 97 THEN 87 ELSE 48 END) AS bucket
+         {md5_byte_sql("CAST(doc_id AS VARCHAR)")} AS bucket
   FROM documents)
 SELECT doc_id,
        CASE WHEN bucket < 205 THEN 'train'
@@ -236,12 +232,7 @@ def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
     0-255 bucket split 205/25/26 ≈ 80/10/10.  Reproducible across
     engines, runs, and cluster sizes; no RNG, no shuffle."""
     docs = load_table(spark, sf, "documents")
-
-    def nibble(pos: int):
-        a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1))
-        return a - F.when(a >= 97, 87).otherwise(48)
-
-    bucket = nibble(1) * 16 + nibble(2)
+    bucket = md5_byte_col(F.col("doc_id").cast("string"))
     split = (
         F.when(bucket < 205, "train")
         .when(bucket < 230, "val")
@@ -310,17 +301,12 @@ PACK_CAPACITY = 2048
 PACK_GROUPS = 64
 
 
-_P1 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))"
-_P2 = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))"
-
-
 @_reg(
     "td_pack_sequences",
     f"""WITH t AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-         (({_P1} - CASE WHEN {_P1} >= 97 THEN 87 ELSE 48 END) * 16
-          + ({_P2} - CASE WHEN {_P2} >= 97 THEN 87 ELSE 48 END))
+         {md5_byte_sql("CAST(doc_id AS VARCHAR)", pos=3)}
            % {PACK_GROUPS} AS pack_group
   FROM documents),
 s AS (
@@ -349,12 +335,7 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     parallelism at 16 groups (ADVICE r2)."""
     docs = load_table(spark, sf, "documents")
     n = F.size(tokens_col())
-
-    def nibble(pos: int):
-        a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1))
-        return a - F.when(a >= 97, 87).otherwise(48)
-
-    group = (nibble(3) * 16 + nibble(4)) % PACK_GROUPS
+    group = md5_byte_col(F.col("doc_id").cast("string"), pos=3) % PACK_GROUPS
     t = docs.select(
         "doc_id", n.alias("n_tokens"), group.alias("pack_group")
     ).filter(F.col("n_tokens") > 0)

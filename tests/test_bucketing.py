@@ -76,3 +76,4 @@ def test_bucketed_events_windows_shuffle_free(spark, sf_smoke):
 
     assert key_set(sess) == key_set(q_sessionize(spark, sf_smoke))
     assert key_set(asof) == key_set(q_asof_attribution(spark, sf_smoke))
+    spark.sql("DROP TABLE IF EXISTS events_b")
