@@ -574,3 +574,137 @@ def q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REGISTRY["td_sim_pq_encode"] = (q_pq_encode, _pq_sql())
+
+
+# ---- PQ ADC search (asymmetric distance over the encoded corpus) ----
+
+
+def _pq_codes(emb: DataFrame):
+    """(vec_id, m, code): nearest codebook centroid per subspace — the
+    `best` stage of q_pq_encode, shared so search scores exactly the
+    codes encode emits."""
+    ms = F.array(*[F.lit(m) for m in range(PQ_M)])
+    sub = F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB)
+    e_sub = emb.select("vec_id", "embedding", F.explode(ms).alias("m")).select(
+        "vec_id", "m", sub.alias("sub")
+    )
+    c_sub = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), "embedding", F.explode(ms).alias("m"))
+        .select("m", "cid", sub.alias("csub"))
+    )
+    diff2 = F.zip_with(
+        "sub",
+        "csub",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        e_sub.join(F.broadcast(c_sub), "m")
+        .select("vec_id", "m", dist.alias("dist"), "cid")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.col("dist").alias("d"), F.col("cid").alias("c"))
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.c").alias("code"))
+    ), c_sub
+
+
+def _pq_search_sql() -> str:
+    def sub_dist(a: str, b: str) -> str:
+        return (
+            f"""list_sum([(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+                      * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+                      for i in range(1, {PQ_SUB + 1})])"""
+        )
+
+    return f"""WITH ms AS (SELECT unnest(range({PQ_M})) AS m),
+c AS (SELECT vec_id AS cid, embedding AS cemb
+      FROM embeddings WHERE vec_id < {PQ_K}),
+e_sub AS (SELECT e.vec_id, ms.m,
+                 list_slice(e.embedding, ms.m*{PQ_SUB}+1, ms.m*{PQ_SUB}+{PQ_SUB}) AS sub
+          FROM embeddings e CROSS JOIN ms),
+c_sub AS (SELECT ms.m, c.cid,
+                 list_slice(c.cemb, ms.m*{PQ_SUB}+1, ms.m*{PQ_SUB}+{PQ_SUB}) AS csub
+          FROM c CROSS JOIN ms),
+pairs AS (SELECT vec_id, e_sub.m, cid,
+                 {sub_dist('sub', 'csub')} AS dist
+          FROM e_sub JOIN c_sub ON e_sub.m = c_sub.m),
+codes AS (SELECT vec_id, m, min({{'d': dist, 'c': cid}}).c AS code
+          FROM pairs GROUP BY vec_id, m),
+q_sub AS (SELECT vec_id AS q_id, m, sub AS qsub FROM e_sub
+          WHERE vec_id < {N_QUERIES}),
+dtab AS (SELECT q_id, q_sub.m, cid,
+                {sub_dist('qsub', 'csub')} AS d
+         FROM q_sub JOIN c_sub ON q_sub.m = c_sub.m),
+scored AS (SELECT d.q_id, codes.vec_id AS n_id, round(sum(d.d), 6) AS adist
+           FROM codes JOIN dtab d ON d.m = codes.m AND d.cid = codes.code
+           WHERE codes.vec_id <> d.q_id
+           GROUP BY d.q_id, codes.vec_id),
+ranked AS (SELECT q_id, n_id, adist,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist ASC, n_id ASC) AS rank
+           FROM scored)
+SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def q_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over the PQ-encoded
+    corpus: the query stays un-quantized; each subspace contributes a
+    looked-up distance from a per-query distance table, so the distance
+    to candidate x is exactly L2²(query, reconstruct(codes(x))).
+
+    Scale shape: the distance table is queries × PQ_M × PQ_K rows
+    (tiny for any realistic query batch) built off the broadcast
+    codebook and itself broadcast into the code join — the corpus-side
+    work is ONE equi-join on (m, code) against per-vector code rows, a
+    (q_id, vec_id) re-aggregation of PQ_M=4 partials, and a per-query
+    top-k window.  No full-dimension scoring ever touches the corpus:
+    at 100 TB the 64-float vectors stay in cold storage and search runs
+    over the 4-byte codes — the IVF-PQ memory story."""
+    emb = load_table(spark, sf, "embeddings")
+    codes, c_sub = _pq_codes(emb)
+    q_sub = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "embedding",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        )
+        .select(
+            "q_id",
+            "m",
+            F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("qsub"),
+        )
+    )
+    diff2 = F.zip_with(
+        "qsub",
+        "csub",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    d = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    dtab = q_sub.join(F.broadcast(c_sub), "m").select(
+        "q_id", "m", "cid", d.alias("d")
+    )
+    scored = codes.alias("k").join(
+        F.broadcast(dtab).alias("t"),
+        (F.col("k.m") == F.col("t.m")) & (F.col("k.code") == F.col("t.cid")),
+    )
+    agg = (
+        scored.filter(F.col("k.vec_id") != F.col("t.q_id"))
+        .groupBy(F.col("t.q_id").alias("q_id"), F.col("k.vec_id").alias("n_id"))
+        .agg(F.round(F.sum("t.d"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "n_id", "adist")
+    )
+
+
+REGISTRY["td_sim_pq_search"] = (q_pq_search, _pq_search_sql())

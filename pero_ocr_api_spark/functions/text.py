@@ -392,3 +392,85 @@ def q_idf(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+# ---- fixed-window document chunking (training-sample preparation) ----
+
+CHUNK_SIZE = 48      # tokens per chunk
+CHUNK_OVERLAP = 16   # tokens shared with the previous chunk
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window preparation step of an LLM training pipeline
+    (reference computes per-page units instead,
+    processing_client/run_client.py; chunking is its training-data
+    analog over the text plane).
+
+    Chunk k covers tokens [k*stride+1, k*stride+chunk_size] (1-based,
+    stride = chunk_size - overlap); the last chunk is the first one
+    whose window reaches the end of the document, so every token lands
+    in ≥1 chunk and no chunk starts past the end.  Empty documents
+    yield no chunks.
+
+    Scale shape: pure per-row ops — split, a bounded `sequence` +
+    `explode` (fan-out ≈ n_tokens/stride), `slice`, `array_join`.
+    Zero shuffle, zero Python; at 100 TB this is a map-only stage whose
+    output partitioning follows the input's.
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk overlap must be smaller than chunk size")
+    n = F.size("toks")
+    # ceil((n - overlap) / stride), floored at 1: the count k such that
+    # chunk k-1 reaches the end.  Exact in integer arithmetic.
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n - overlap + (stride - 1)) / F.lit(stride))
+    )
+    t = df.select(
+        "doc_id", tokens_col().alias("toks")
+    ).filter(F.size("toks") > 0)
+    k = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    c = t.select("doc_id", "toks", k)
+    start = F.col("chunk_id").cast("long") * stride + 1
+    chunk = F.slice("toks", start, chunk_size)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@_reg(
+    "td_chunk_documents",
+    f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(floor((len(toks) - {CHUNK_OVERLAP}
+                                 + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0)
+                     AS BIGINT)) AS n_chunks
+  FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM n)
+SELECT doc_id, chunk_id,
+       chunk_id * {CHUNK_STRIDE} + 1 AS start_tok,
+       len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                       chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM c""",
+)
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry wrapper: chunk the documents table at the default
+    {CHUNK_SIZE}/{CHUNK_OVERLAP} token geometry."""
+    return chunk_documents(load_table(spark, sf, "documents"))

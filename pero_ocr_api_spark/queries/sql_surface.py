@@ -155,6 +155,34 @@ WITH rev AS (
 SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total AS total_revenue
 FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
 WHERE r.total = (SELECT max(total) FROM rev)""",
+    # Q13: customer order-count distribution — the LEFT OUTER join with
+    # an extra non-key ON predicate, then a two-level aggregation that
+    # must keep zero-order customers (c_count = 0).
+    "cp_sql_tpch_q13_custdist": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count""",
+    # Q19: disjunctive brand/size/quantity predicate — an OR of
+    # conjunct triples spanning BOTH join sides; the per-side common
+    # factors (p_size lower bound, quantity envelope) must still be
+    # pushed below the join (CNF extraction) for the scan to stay
+    # selective at scale.
+    "cp_sql_tpch_q19_disjunct": """
+SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 35)""",
 }
 
 for _name, _sql in _TPCH_EXTRA.items():

@@ -305,3 +305,91 @@ def test_sketch_accuracy_vs_exact(spark, sf_smoke):
     assert row.n_docs > 0
     for approx, exact in zip(row.approx_q, row.exact_q):
         assert abs(approx - exact) <= max(0.02 * exact, 1.0), (approx, exact)
+
+
+def test_chunk_documents_geometry(spark):
+    """Edge geometry of fixed-window chunking: short doc (< overlap),
+    exact-multiple doc, and an off-grid doc — chunk count, starts,
+    overlap width, and full-coverage all pinned."""
+    from pero_ocr_api_spark.functions.text import (
+        CHUNK_OVERLAP, CHUNK_SIZE, CHUNK_STRIDE, chunk_documents,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(f"t{j}" for j in range(1, n + 1)))
+
+    df = spark.createDataFrame(
+        # 5 tokens (< overlap), exactly one stride+chunk (2 chunks,
+        # second full), chunk_size exactly (1 chunk), chunk_size+1
+        # (2 chunks, second mostly overlap), empty doc (dropped)
+        [doc(1, 5), doc(2, CHUNK_STRIDE + CHUNK_SIZE), doc(3, CHUNK_SIZE),
+         doc(4, CHUNK_SIZE + 1), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_documents(df).collect()
+    }
+    by_doc = {}
+    for (d, k) in rows:
+        by_doc.setdefault(d, []).append(k)
+
+    assert sorted(by_doc) == [1, 2, 3, 4]          # empty doc dropped
+    assert by_doc[1] == [0] and rows[(1, 0)].n_tokens == 5
+    assert sorted(by_doc[2]) == [0, 1]
+    assert rows[(2, 1)].start_tok == CHUNK_STRIDE + 1
+    assert rows[(2, 1)].n_tokens == CHUNK_SIZE      # second chunk full
+    assert by_doc[3] == [0]                         # exact fit: 1 chunk
+    assert sorted(by_doc[4]) == [0, 1]
+    assert rows[(4, 1)].n_tokens == CHUNK_OVERLAP + 1
+
+    # coverage + overlap invariants on the off-grid doc
+    c0 = rows[(4, 0)].chunk_text.split(" ")
+    c1 = rows[(4, 1)].chunk_text.split(" ")
+    assert c0[-CHUNK_OVERLAP:] == c1[:CHUNK_OVERLAP]
+    assert set(c0) | set(c1) == {f"t{j}" for j in range(1, CHUNK_SIZE + 2)}
+
+
+def test_pq_search_adc_identity(spark, sf_smoke):
+    """ADC correctness pin: the reported adist for (q, x) must equal
+    L2²(q, reconstruct(codes(x))) — the defining identity of
+    asymmetric-distance search — recomputed here from raw embeddings
+    and the deterministic codebook, in float64."""
+    import math
+
+    from pero_ocr_api_spark.functions.similarity import (
+        PQ_K, PQ_M, PQ_SUB, q_pq_search,
+    )
+    from pero_ocr_api_spark.session import load_table
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_smoke, "embeddings").collect()
+    }
+    codebook = {cid: emb[cid] for cid in range(PQ_K)}
+
+    def codes(v):
+        out = []
+        for m in range(PQ_M):
+            s = v[m * PQ_SUB:(m + 1) * PQ_SUB]
+            best = min(
+                range(PQ_K),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(
+                        s, codebook[c][m * PQ_SUB:(m + 1) * PQ_SUB])),
+                    c,
+                ),
+            )
+            out.append(best)
+        return out
+
+    got = q_pq_search(spark, sf_smoke).collect()
+    assert len(got) > 0
+    for r in got:
+        q, x = emb[r.q_id], emb[r.n_id]
+        recon = []
+        for m, c in enumerate(codes(x)):
+            recon += codebook[c][m * PQ_SUB:(m + 1) * PQ_SUB]
+        expect = sum((a - b) ** 2 for a, b in zip(q, recon))
+        assert math.isclose(r.adist, round(expect, 6), abs_tol=2e-6), (
+            r.q_id, r.n_id, r.adist, expect)
