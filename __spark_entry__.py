@@ -88,15 +88,16 @@ _DRIVER_WINDOW = [
     "td_pack_sequences",
     "td_text_idf", "td_sim_kmeans_step",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
-    "td_sim_bruteforce_topk", "td_sim_lsh_buckets",
+    "td_sim_bruteforce_topk",
     "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
     "td_mm_decode",
     # new in round 3 (late batch): fixed-window chunking, PQ ADC
     # search, and two more TPC-H SQL shapes (q13 left-outer
     # distribution, q19 disjunctive pushdown).  Slots freed by
-    # demoting four r02-green unchanged entries (td_mm_resize_plan,
-    # td_mm_frame_sample, td_mm_features, td_sim_lsh_signature).
-    "td_chunk_documents", "td_sim_pq_search",
+    # demoting five r02-green unchanged entries (td_mm_resize_plan,
+    # td_mm_frame_sample, td_mm_features, td_sim_lsh_signature,
+    # td_sim_lsh_buckets).
+    "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
     "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
     "cp_sql_exists_late_ship", "cp_sql_corr_max_order",

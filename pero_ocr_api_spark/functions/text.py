@@ -474,3 +474,54 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Registry wrapper: chunk the documents table at the default
     {CHUNK_SIZE}/{CHUNK_OVERLAP} token geometry."""
     return chunk_documents(load_table(spark, sf, "documents"))
+
+
+# ---- per-language equi-depth length histogram (exact deciles) ----
+
+N_TILES = 10
+
+
+@_reg(
+    "td_length_deciles",
+    f"""WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         doc_id
+  FROM documents),
+d AS (
+  SELECT lang, n_tokens,
+         ntile({N_TILES}) OVER (PARTITION BY lang
+                                ORDER BY n_tokens, doc_id) AS decile
+  FROM t)
+SELECT lang, decile,
+       count(*) AS n_docs,
+       min(n_tokens) AS lo,
+       max(n_tokens) AS hi
+FROM d GROUP BY lang, decile""",
+)
+def q_length_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact equi-depth token-length deciles per language: ntile over a
+    per-lang sort (doc_id tie-break makes bucket edges deterministic
+    across engines), then per-bucket count/lo/hi — the corpus length
+    profile a curation pass reads before choosing filter thresholds.
+
+    Scale shape: ONE shuffle, partitioned by lang; the sort is per-lang
+    (never global).  Exact ranks do require each language's rows to
+    sort within its partition — for a 100 TB corpus where one language
+    dominates, profile with the mergeable GK sketch
+    (`td_sketch_quantiles`) instead and keep this exact form for
+    per-stratum slices; the engine offers both."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "lang", F.size(tokens_col()).alias("n_tokens"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return (
+        t.withColumn("decile", F.ntile(N_TILES).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("lo"),
+            F.max("n_tokens").alias("hi"),
+        )
+    )
