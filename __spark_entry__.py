@@ -27,6 +27,7 @@ from pero_ocr_api_spark.functions.sketches import REGISTRY as _SKETCH
 from pero_ocr_api_spark.functions.similarity import REGISTRY as _SIM
 from pero_ocr_api_spark.functions.text import REGISTRY as _TEXT
 from pero_ocr_api_spark.plans.engine_config import REGISTRY as _CFG
+from pero_ocr_api_spark.plans.layout import REGISTRY as _LAYOUT
 from pero_ocr_api_spark.queries.controlplane import REGISTRY as _CP
 from pero_ocr_api_spark.queries.multimodal_q import REGISTRY as _MM
 from pero_ocr_api_spark.queries.sql_surface import REGISTRY as _SQL
@@ -89,15 +90,17 @@ _DRIVER_WINDOW = [
     "td_text_idf", "td_sim_kmeans_step",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk",
-    "td_sim_ann_lsh_topk", "td_dedup_embedding_cosine", "td_sim_ivf_topk",
+    "td_sim_ann_lsh_topk", "td_sim_ivf_topk",
     "td_mm_decode",
     # new in round 3 (late batch): fixed-window chunking, PQ ADC
-    # search, and two more TPC-H SQL shapes (q13 left-outer
-    # distribution, q19 disjunctive pushdown).  Slots freed by
-    # demoting five r02-green unchanged entries (td_mm_resize_plan,
-    # td_mm_frame_sample, td_mm_features, td_sim_lsh_signature,
-    # td_sim_lsh_buckets).
+    # search, exact length deciles, z-order clustering key, and two
+    # more TPC-H SQL shapes (q13 left-outer distribution, q19
+    # disjunctive pushdown).  Slots freed by demoting six r02-green
+    # unchanged entries (td_mm_resize_plan, td_mm_frame_sample,
+    # td_mm_features, td_sim_lsh_signature, td_sim_lsh_buckets,
+    # td_dedup_embedding_cosine).
     "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
+    "td_zorder_key",
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
     "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
     "cp_sql_exists_late_ship", "cp_sql_corr_max_order",
@@ -113,6 +116,7 @@ _DRIVER_WINDOW = [
 def _registry() -> dict[str, tuple]:
     reg = dict(_EXTRACTION_QUERIES)
     reg.update(_CFG)
+    reg.update(_LAYOUT)
     reg.update(_CP)
     reg.update(_SM)
     reg.update(_TEXT)
