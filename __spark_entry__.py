@@ -90,7 +90,6 @@ _DRIVER_WINDOW = [
     "td_text_idf", "td_sim_kmeans_step",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk",
-    "td_sim_ann_lsh_topk", "td_sim_ivf_topk",
     "td_mm_decode",
     # new in round 3 (late batch): fixed-window chunking, PQ ADC
     # search, exact length deciles, z-order clustering key, and two
@@ -102,6 +101,7 @@ _DRIVER_WINDOW = [
     "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
     "td_zorder_key",
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
+    "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
     "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
     "cp_sql_exists_late_ship", "cp_sql_corr_max_order",
     # new in round 3: TPC-H-shape SQL surface (q6/q7/q10/q14/q15)

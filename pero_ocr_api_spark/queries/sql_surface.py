@@ -183,6 +183,39 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 10 AND 25)
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
        AND l.l_quantity BETWEEN 20 AND 35)""",
+    # Q8: national market share — the deepest join the driver schema
+    # supports (8 relations; nation twice, region gating the customer
+    # side only), then a conditional-share ratio per order year.
+    "cp_sql_tpch_q8_mkt_share": """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         sn.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= DATE '1996-01-01'
+    AND o.o_orderdate < DATE '1998-01-01') t
+GROUP BY o_year""",
+    # GROUPING SETS with grouping() markers: detail, one-dim subtotal,
+    # and grand total in one pass — Catalyst expands to a single
+    # Expand+Aggregate, not three scans.
+    "cp_sql_grouping_sets": """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+       count(*) AS n,
+       CAST(round(sum(l_extendedprice), 0) AS BIGINT) AS rev
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
 }
 
 for _name, _sql in _TPCH_EXTRA.items():
