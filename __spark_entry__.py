@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pero_ocr_api_spark.queries import extraction as _qx
 from pero_ocr_api_spark.queries import extraction_sql as _sx
+from pero_ocr_api_spark.functions.cdc import REGISTRY as _CDC
 from pero_ocr_api_spark.functions.cluster import REGISTRY as _CLUSTER
 from pero_ocr_api_spark.functions.curation import REGISTRY as _CUR
 from pero_ocr_api_spark.functions.dedup import REGISTRY as _DEDUP
@@ -84,24 +85,26 @@ _DRIVER_WINDOW = [
     "cp_sm_claim_auth",
     "cp_admin_add_key",
     # new in round 2: jusText-style main-content extraction + dup clusters
-    "td_mc_blocks", "td_mc_extract", "td_dedup_clusters",
-    "td_dedup_canonical", "td_emb_quantize",
+    "td_mc_extract", "td_dedup_clusters",
+    "td_dedup_canonical",
     "td_pack_sequences",
     "td_text_idf", "td_sim_kmeans_step",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk",
     "td_mm_decode",
     # new in round 3 (late batch): fixed-window chunking, PQ ADC
-    # search, exact length deciles, z-order clustering key, and two
-    # more TPC-H SQL shapes (q13 left-outer distribution, q19
-    # disjunctive pushdown).  Slots freed by demoting six r02-green
-    # unchanged entries (td_mm_resize_plan, td_mm_frame_sample,
-    # td_mm_features, td_sim_lsh_signature, td_sim_lsh_buckets,
-    # td_dedup_embedding_cosine).
+    # search, exact length deciles, z-order clustering key, CDC plane
+    # (merge upsert + SCD2), TPC-H q8/q13/q19 and GROUPING SETS.
+    # Slots freed by demoting ten r02-green unchanged entries
+    # (td_mm_resize_plan, td_mm_frame_sample, td_mm_features,
+    # td_sim_lsh_signature, td_sim_lsh_buckets,
+    # td_dedup_embedding_cosine, td_sim_ivf_topk, td_sim_ann_lsh_topk,
+    # td_mc_blocks, td_emb_quantize).
     "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
     "td_zorder_key",
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
     "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
+    "td_merge_upsert", "td_scd2_versions",
     "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
     "cp_sql_exists_late_ship", "cp_sql_corr_max_order",
     # new in round 3: TPC-H-shape SQL surface (q6/q7/q10/q14/q15)
@@ -124,6 +127,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(_DEDUP)
     reg.update(_EV)
     reg.update(_CLUSTER)
+    reg.update(_CDC)
     reg.update(_CUR)
     reg.update(_SKETCH)
     reg.update(_SIM)

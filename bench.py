@@ -127,6 +127,9 @@ def main() -> None:
         "td_sessionize": EV["td_sessionize"][0],
         "td_range_join": EV["td_range_join"][0],
         "td_decontaminate": CUR["td_decontaminate"][0],
+        # late round-3 planes: chunking (map-only) + PQ ADC search
+        "td_chunk": TEXT["td_chunk_documents"][0],
+        "td_pq_search": SIM["td_sim_pq_search"][0],
     }
     for _ in range(reps):
         for name, fn in others.items():

@@ -393,3 +393,51 @@ def test_pq_search_adc_identity(spark, sf_smoke):
         expect = sum((a - b) ** 2 for a, b in zip(q, recon))
         assert math.isclose(r.adist, round(expect, 6), abs_tol=2e-6), (
             r.q_id, r.n_id, r.adist, expect)
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE expansion over whole rows: matched keys take the source
+    row, unmatched target rows survive untouched, unmatched source
+    rows insert; no duplicates on any path."""
+    from pero_ocr_api_spark.functions.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B!"), (9, "new")], "k long, v string"
+    )
+    got = {r.k: r.v for r in merge_upsert(target, source, "k").collect()}
+    assert got == {1: "a", 2: "B!", 3: "c", 9: "new"}
+
+
+def test_scd2_versions_change_points(spark):
+    """SCD2 history: consecutive duplicates collapse, validity
+    intervals chain exactly ([from, to) with NULL = current), versions
+    are dense per key, tie on ts broken by event_id."""
+    from datetime import datetime
+
+    from pero_ocr_api_spark.functions.cdc import scd2_versions
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: a a b a  -> versions a@0, b@2, a@3
+        (1, 10, "a", t(0)), (1, 11, "a", t(1)),
+        (1, 12, "b", t(2)), (1, 13, "a", t(3)),
+        # user 2: tie at the same ts — event_id orders it: a then b
+        (2, 20, "a", t(5)), (2, 21, "b", t(5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r.user_id, r.version): (r.event_type, r.valid_from, r.valid_to)
+        for r in scd2_versions(ev).collect()
+    }
+    assert got == {
+        (1, 1): ("a", t(0), t(2)),
+        (1, 2): ("b", t(2), t(3)),
+        (1, 3): ("a", t(3), None),
+        (2, 1): ("a", t(5), t(5)),
+        (2, 2): ("b", t(5), None),
+    }
