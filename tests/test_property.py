@@ -6,6 +6,8 @@ built from the same stub/constants.  Offsets are unique per doc (the
 input_hint's document-order position; ordering is undefined otherwise).
 """
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -180,3 +182,49 @@ def test_main_content_matches_python_oracle(spark, docs):
         assert got[rid].content == expect["content"], (text,)
         assert got[rid].n_good == expect["n_good"]
         assert got[rid].n_blocks == expect["n_blocks"]
+
+
+@settings(
+    max_examples=int(os.environ.get("PROPERTY_MAX_EXAMPLES", "25")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                     max_size=8),
+    chunk=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_coverage_property(spark, lengths, chunk, overlap_frac):
+    """For ANY doc lengths and chunk geometry: every token of every
+    non-empty doc appears in ≥1 chunk, chunk k starts at k*stride+1,
+    consecutive chunks share exactly `overlap` tokens (when the next
+    chunk is long enough), and no chunk is empty."""
+    from pero_ocr_api_spark.functions.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=chunk, overlap=overlap).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in out:
+        assert r.n_tokens > 0
+        assert r.start_tok == r.chunk_id * stride + 1
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for i, n in enumerate(lengths):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))
+        covered = set()
+        for k in sorted(chunks):
+            toks = chunks[k]
+            assert len(toks) <= chunk
+            covered.update(toks)
+            if overlap and k + 1 in chunks and len(chunks[k + 1]) >= overlap:
+                assert toks[-overlap:] == chunks[k + 1][:overlap]
+        assert covered == {f"w{j}" for j in range(n)}, (n, chunk, overlap)
