@@ -525,3 +525,56 @@ def q_length_deciles(spark: SparkSession, sf: str) -> DataFrame:
             F.max("n_tokens").alias("hi"),
         )
     )
+
+
+# ---- unigram cross-entropy scoring (LM-based quality signal) ----
+
+
+@_reg(
+    "td_text_unigram_ce",
+    """WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+vocab AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (
+  SELECT sum(c) AS total, count(*) AS v FROM vocab)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(round(sum(-ln((c + 1.0) / (total + v))), 4) / count(*), 6)
+         AS cross_entropy
+FROM tok JOIN vocab USING (token) CROSS JOIN tot
+GROUP BY doc_id""",
+)
+def q_unigram_ce(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    add-1-smoothed unigram distribution — the KenLM-style perplexity
+    quality gate of a curation pipeline reduced to its relational
+    skeleton (a real deployment swaps the corpus unigram table for a
+    trained LM table; the join/aggregate shape is identical).  High
+    cross-entropy = improbable token stream = gibberish candidate.
+
+    Scale shape: one token-explode, a combine-shuffled vocab count, the
+    score join is a plain equi-join on token (broadcastable while the
+    vocab fits, shuffle otherwise — AQE decides), and the corpus-size
+    totals join in as a broadcast single-row aggregate.  Float
+    discipline: the per-doc log-sum is rounded at 4dp BEFORE the /n at
+    6dp so summation order cannot flip the oracle hash (`td_sim_kmeans_
+    step` discipline)."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    logp = -F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v")))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.round(F.sum(logp), 4) / F.count("*"), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )
