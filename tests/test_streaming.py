@@ -372,3 +372,48 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert (1, sec(0), sec(1900), 3) in got  # exact-gap pair merged
+
+
+def test_streaming_upsert_folds_batches_in_order(spark, tmp_path):
+    """Streaming MERGE sink: two availableNow drains — the second sees
+    only the new change file and its rows overwrite the first's on key
+    match; within a batch the highest seq per key wins; a no-change
+    re-drain leaves the committed snapshot untouched."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pero_ocr_api_spark.streaming.cdc_stream import (
+        read_target, streaming_upsert,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("v", StringType()),
+        StructField("seq", LongType()),
+    ])
+    in_dir = str(tmp_path / "changes")
+    tgt = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: keys 1,2 — key 2 appears twice, seq 11 must win
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (2, "b2", 11)], schema
+    ).write.mode("append").parquet(in_dir)
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+    got = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 11)}
+
+    # batch 2: update key 1 (even with a LOWER seq — later batch wins),
+    # insert key 3
+    spark.createDataFrame(
+        [(1, "a9", 5), (3, "c", 1)], schema
+    ).write.mode("append").parquet(in_dir)
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+    got = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert got == {1: ("a9", 5), 2: ("b2", 11), 3: ("c", 1)}
+
+    # idle drain: no new files → snapshot unchanged
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+    again = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert again == got
