@@ -88,7 +88,6 @@ _DRIVER_WINDOW = [
     "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical",
     "td_pack_sequences",
-    "td_sim_kmeans_step",
     # driver-uncovered in round 1: similarity + multimodal + sql surface
     "td_sim_bruteforce_topk",
     "td_mm_decode",
@@ -105,6 +104,7 @@ _DRIVER_WINDOW = [
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
     "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
     "td_merge_upsert", "td_scd2_versions", "td_text_unigram_ce",
+    "td_rolling_7d",
     "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
     "cp_sql_exists_late_ship", "cp_sql_corr_max_order",
     # new in round 3: TPC-H-shape SQL surface (q6/q7/q10/q14/q15)

@@ -387,3 +387,42 @@ def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---- trailing range-frame rolling aggregate ----
+
+ROLL_WINDOW_S = 7 * 86400  # 7 days
+
+
+@_reg(
+    "td_rolling_7d",
+    f"""SELECT user_id, event_id,
+       count(*) OVER w AS n_7d,
+       round(sum(value) OVER w, 4) AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN {ROLL_WINDOW_S} PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day rolling count/sum per user — the RANGE frame
+    (value-based, so same-timestamp rows share one frame and gaps in
+    time shrink it) rather than a ROWS frame.  Ordering on epoch
+    seconds keeps the frame arithmetic identical in both engines.
+
+    Scale shape: one user_id shuffle + an in-partition ordered scan;
+    the frame is bounded by the retention window, so state per key is
+    O(events-in-7-days), never the full history.  Sum rounded at 4dp:
+    Spark re-evaluates frames linearly while DuckDB uses segment trees
+    — association order differs at the last ulp."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_secs(F.col("ts")))
+        .rangeBetween(-ROLL_WINDOW_S, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+    )

@@ -244,3 +244,33 @@ def test_pq_encode_codebook_vectors_are_exact(spark, sf_smoke):
         assert len(parts) == PQ_M
         assert all(0 <= int(p) < PQ_K for p in parts)
         assert r["quant_err"] >= 0.0
+
+
+def test_rolling_range_frame_semantics(spark):
+    """RANGE (not ROWS) frame pins: same-timestamp rows share one
+    frame (both see both), an event exactly at the 7-day boundary is
+    included, one second past it is excluded."""
+    from datetime import datetime, timedelta
+
+    from pero_ocr_api_spark.functions.events import ROLL_WINDOW_S, q_rolling_7d
+
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, 100, base - timedelta(seconds=ROLL_WINDOW_S + 1), 1.0),  # too old
+        (1, 101, base - timedelta(seconds=ROLL_WINDOW_S), 2.0),      # boundary: in
+        (1, 102, base, 4.0),   # same ts as 103
+        (1, 103, base, 8.0),   # same ts as 102
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    import os as _os
+    import tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(_os.path.join(d, "events.parquet"))
+    got = {r.event_id: (r.n_7d, r.sum_7d) for r in q_rolling_7d(spark, d).collect()}
+    assert got[100] == (1, 1.0)
+    assert got[101] == (2, 3.0)              # sees 100 (within ITS window)
+    # 102/103 share the frame: 101 (exactly 7d back) + both same-ts rows
+    assert got[102] == (3, 14.0)
+    assert got[103] == (3, 14.0)
