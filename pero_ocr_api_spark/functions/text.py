@@ -542,8 +542,9 @@ tot AS (
   SELECT sum(c) AS total, count(*) AS v FROM vocab)
 SELECT doc_id,
        count(*) AS n_tokens,
-       round(round(sum(-ln((c + 1.0) / (total + v))), 4) / count(*), 6)
-         AS cross_entropy
+       round(sum(CAST(round(-ln((c + 1.0) / (total + v)) * 1000000)
+                      AS BIGINT))
+             / (1000000.0 * count(*)), 6) AS cross_entropy
 FROM tok JOIN vocab USING (token) CROSS JOIN tot
 GROUP BY doc_id""",
 )
@@ -559,22 +560,26 @@ def q_unigram_ce(spark: SparkSession, sf: str) -> DataFrame:
     score join is a plain equi-join on token (broadcastable while the
     vocab fits, shuffle otherwise — AQE decides), and the corpus-size
     totals join in as a broadcast single-row aggregate.  Float
-    discipline: the per-doc log-sum is rounded at 4dp BEFORE the /n at
-    6dp so summation order cannot flip the oracle hash (`td_sim_kmeans_
-    step` discipline)."""
+    discipline: each token's logp is snapped to a 1e-6 integer grid and
+    the per-doc sum runs in BIGINT — exact and order-independent — so
+    neither summation order nor a rounding-midpoint landing can flip the
+    oracle hash (a float64 sum rounded post-hoc did, at sf0.1: one doc's
+    sum sat exactly on a 4dp midpoint and the two engines' summation
+    orders broke the tie differently)."""
     docs = load_table(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
     logp = -F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v")))
+    logp_micro = F.round(logp * 1000000.0, 0).cast("long")
     return (
         tok.join(vocab, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.round(F.sum(logp), 4) / F.count("*"), 6).alias(
-                "cross_entropy"
-            ),
+            F.round(
+                F.sum(logp_micro) / (1000000.0 * F.count("*")), 6
+            ).alias("cross_entropy"),
         )
     )
