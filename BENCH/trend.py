@@ -12,6 +12,14 @@ current round worse than EVERY prior round; comparing against the best
 prior round keeps that signal while a noisy baseline round can no
 longer raise (or mask) an alarm.  bench.py additionally reports
 median-of-n per query since round 3, shrinking within-run noise.
+
+The gate also requires an ABSOLUTE delta > ABS_FLOOR_S: a sub-second
+query's +20% is a couple hundred milliseconds — below the shared VM's
+per-run jitter even for a median-of-n (observed: td_dedup_simhash
+0.95 s vs 1.25 s across back-to-back reps=5/reps=3 runs with an
+identical plan).  A real plan regression on a query that small is
+invisible in wall time anyway; the relative gate still guards every
+query whose runtime can carry signal.
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGRESSION_PCT = 20.0
+ABS_FLOOR_S = 0.5
 
 
 def load_rounds() -> list[tuple[int, dict]]:
@@ -57,7 +66,8 @@ def main() -> int:
     lines = [
         "# BENCH trend — per-query wall seconds by round",
         "",
-        f"Regression gate: +{REGRESSION_PCT:.0f}% vs BEST prior round "
+        f"Regression gate: +{REGRESSION_PCT:.0f}% AND "
+        f">{ABS_FLOOR_S:.1f}s absolute vs BEST prior round "
         "(noise-robust — see trend.py docstring); Δ last shown for "
         "context only.",
         "",
@@ -83,7 +93,7 @@ def main() -> int:
                 best = min(priors)
                 pct = (cur - best) / best * 100.0
                 dbest = f"{pct:+.1f}"
-                if pct > REGRESSION_PCT:
+                if pct > REGRESSION_PCT and (cur - best) > ABS_FLOOR_S:
                     regressed.append((q, pct))
         lines.append(
             f"| {q} | " + " | ".join(cells) + f" | {delta} | {dbest} |"
