@@ -105,8 +105,12 @@ _DRIVER_WINDOW = [
     "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
     "td_merge_upsert", "td_scd2_versions", "td_text_unigram_ce",
     "td_rolling_7d",
+    # new in round 3 (final batch): target-mixture language
+    # rebalancing (slot freed by demoting r02-green
+    # cp_sql_corr_max_order, unchanged since).
+    "td_lang_rebalance",
     "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
-    "cp_sql_exists_late_ship", "cp_sql_corr_max_order",
+    "cp_sql_exists_late_ship",
     # new in round 3: TPC-H-shape SQL surface (q6/q7/q10/q14/q15)
     "cp_sql_tpch_q6_revenue", "cp_sql_tpch_q14_promo",
     "cp_sql_tpch_q10_returns", "cp_sql_tpch_q7_volume",

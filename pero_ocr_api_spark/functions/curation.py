@@ -274,3 +274,103 @@ def q_length_winsorize(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("clamped"),
     )
+
+
+# ---- language rebalancing to a target mixture ----
+
+# Target output shares by language (the data-mixing spec of a training
+# run).  Downsampling-only waterfill: the language whose corpus is
+# scarcest RELATIVE TO ITS TARGET binds the output size
+# (scale = min_l n_l / w_l); every other language is thinned to
+# rate_l = w_l * scale / n_l, so the kept corpus hits the target
+# mixture as closely as 256-bucket quantization allows without ever
+# upsampling (no duplicated rows, no RNG).
+TARGET_MIX: dict[str, float] = {
+    "en": 0.30,
+    "de": 0.20,
+    "fr": 0.20,
+    "es": 0.15,
+    "zh": 0.15,
+}
+REBALANCE_SALT = "mix-v1:"
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN CAST({w} AS DOUBLE)"
+        for lang, w in TARGET_MIX.items()
+    )
+    return f"CASE lang {whens} ELSE NULL END"
+
+
+@_reg(
+    "td_lang_rebalance",
+    f"""WITH counts AS (
+  SELECT lang, count(*) AS n, {_mix_case_sql()} AS w
+  FROM documents GROUP BY lang),
+tgt AS (SELECT * FROM counts WHERE w IS NOT NULL),
+sc AS (SELECT min(n / w) AS scale FROM tgt),
+rates AS (
+  SELECT lang,
+         CAST(least(CAST(256.0 AS DOUBLE), round(256.0 * w * scale / n))
+              AS INT) AS rate256
+  FROM tgt CROSS JOIN sc)
+SELECT d.doc_id, d.lang, round(256.0 / rate256, 6) AS weight
+FROM documents d JOIN rates USING (lang)
+WHERE {md5_byte_sql(f"'{REBALANCE_SALT}' || CAST(doc_id AS VARCHAR)")}
+      < rate256""",
+)
+def q_lang_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic language rebalancing: thin each language to hit
+    TARGET_MIX output shares (downsampling-only waterfill — the
+    binding language keeps rate 256/256, the head language is thinned
+    hardest).  The per-lang rate table is a ≤|langs|-row aggregate
+    broadcast back onto the corpus, and membership is the shared salted
+    md5-byte bucket — so the docs themselves never shuffle, the sample
+    is identical across engines / re-runs / cluster sizes, and each
+    kept row carries the inverse-probability weight 256/rate for
+    unbiased downstream statistics.  Reference analog: the per-engine
+    routing weights of `app/main/routes.py` pick QUEUES by share; this
+    is the corpus-side equivalent a training-data pipeline needs.
+    Float discipline: rate256 is computed with the identical
+    literal/association `256.0 * w * scale / n` in both dialects from
+    integer counts and double literals, so the quantized rate is
+    bit-equal before the integer cast."""
+    docs = load_table(spark, sf, "documents")
+    w = F.lit(None).cast("double")
+    for lang, share in TARGET_MIX.items():
+        w = F.when(F.col("lang") == lang, F.lit(float(share))).otherwise(w)
+    tgt = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", w)
+        .filter(F.col("w").isNotNull())
+    )
+    scale = tgt.agg(F.min(F.col("n") / F.col("w")).alias("scale"))
+    rates = (
+        tgt.crossJoin(F.broadcast(scale))
+        .select(
+            "lang",
+            F.least(
+                F.lit(256.0),
+                F.round(
+                    F.lit(256.0) * F.col("w") * F.col("scale") / F.col("n"),
+                    0,
+                ),
+            )
+            .cast("int")
+            .alias("rate256"),
+        )
+    )
+    bucket = md5_byte_col(
+        F.concat(F.lit(REBALANCE_SALT), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate256"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.lit(256.0) / F.col("rate256"), 6).alias("weight"),
+        )
+    )

@@ -274,3 +274,36 @@ def test_rolling_range_frame_semantics(spark):
     # 102/103 share the frame: 101 (exactly 7d back) + both same-ts rows
     assert got[102] == (3, 14.0)
     assert got[103] == (3, 14.0)
+
+
+def test_lang_rebalance_hits_target_mixture(spark, sf_correct):
+    """Downsampling-only waterfill: the achieved output shares track
+    TARGET_MIX within 256-bucket quantization noise, the binding
+    language (scarcest relative to its target) is kept whole
+    (weight exactly 1.0), and the sample is deterministic."""
+    from pero_ocr_api_spark.functions.curation import (
+        TARGET_MIX,
+        q_lang_rebalance,
+    )
+
+    out = q_lang_rebalance(spark, sf_correct).cache()
+    total = out.count()
+    shares = {
+        r["lang"]: r["cnt"] / total
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(shares) == set(TARGET_MIX)
+    for lang, w in TARGET_MIX.items():
+        # 256-bucket quantization + hash noise at a few hundred docs
+        # per lang: ±6 share points is far tighter than the raw corpus
+        # skew (en is ~40% of documents, target 30%)
+        assert abs(shares[lang] - w) < 0.06, (lang, shares[lang], w)
+    # binding language keeps everything: some lang has weight 1.0
+    weights = {r["lang"]: r["weight"] for r in
+               out.select("lang", "weight").distinct().collect()}
+    assert min(weights.values()) == pytest.approx(1.0)
+    # deterministic: identical result set on a re-run
+    again = q_lang_rebalance(spark, sf_correct)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    out.unpersist()

@@ -22,6 +22,7 @@ _BNLJ_OK = {
     "td_sim_kmeans_step",    # 8 seed centroids crossed for assignment
     "td_text_idf",           # 1-row corpus-size aggregate crossed in
     "td_text_unigram_ce",    # 1-row corpus-size aggregate crossed in
+    "td_lang_rebalance",     # 1-row waterfill-scale aggregate crossed in
 }
 
 _QUERIES = [
