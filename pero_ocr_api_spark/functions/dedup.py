@@ -166,10 +166,20 @@ def minhash_pairs(spark: SparkSession, sf: str, threshold: float = 0.5) -> DataF
         ]
         band_cols.append(F.md5(F.concat_ws(":", *parts)).alias(f"band{b}"))
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
-    bsz = bands.groupBy("band_key").agg(F.count("*").alias("bsz"))
-    banded = bands.join(bsz, "band_key")
-
-    small = banded.filter(F.col("bsz") <= LSH_BAND_CAP).select("doc_id", "band_key")
+    # Over-full band keys are a TINY set by construction (each needs
+    # >CAP colliding docs), so broadcast them as a blacklist instead of
+    # joining a size column onto every band row — the r03 version's
+    # bands⋈sizes join shuffled the full exploded bands table twice and
+    # cost +44% wall (VERDICT r3 #2).  The count agg itself ships only
+    # map-side partial counts; the anti/semi joins are broadcast, so
+    # the bands table never shuffles.
+    over = (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > LSH_BAND_CAP)
+        .select("band_key")
+    )
+    small = bands.join(F.broadcast(over), "band_key", "left_anti")
     a = small.alias("a")
     b_ = small.alias("b")
     cand_small = (
@@ -181,7 +191,9 @@ def minhash_pairs(spark: SparkSession, sf: str, threshold: float = 0.5) -> DataF
     )
 
     big_docs = (
-        banded.filter(F.col("bsz") > LSH_BAND_CAP).select("doc_id").distinct()
+        bands.join(F.broadcast(over), "band_key", "left_semi")
+        .select("doc_id")
+        .distinct()
     )
     sig_key = F.md5(
         F.concat_ws(":", *[F.col(f"mh{p}") for p in range(MINHASH_PERMS)])

@@ -183,9 +183,11 @@ REGISTRY["td_sim_lsh_buckets"] = (
 
 def ann_topk_lsh(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
     """The scale-path ANN: candidates restricted to the query's LSH
-    bucket, then exact cosine within the bucket.  Approximate by
-    construction (rows-only check; the brute-force query above is the
-    verified baseline)."""
+    bucket, then exact cosine within the bucket.  Approximate relative
+    to brute force, but fully DETERMINISTIC given the md5-derived
+    hyperplanes — so it carries a complete DuckDB oracle (signature →
+    bucket equi-join → exact cosine → rank), closing the registry's
+    last recall-only entry (VERDICT r3 #3)."""
     e = (
         load_table(spark, sf, "embeddings")
         .withColumn("sig", _signature_expr())
@@ -202,7 +204,35 @@ def ann_topk_lsh(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
     return _cosine_topk(c, q, k, on="sig")
 
 
-REGISTRY["td_sim_ann_lsh_topk"] = (ann_topk_lsh, None)  # approximate: rows-only
+def _ann_lsh_sql() -> str:
+    def _l2(col: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, {DIM} + 1), "
+            f"i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE))))"
+        )
+
+    dot = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    return f"""WITH sigs AS ({_lsh_sql()}),
+e AS (SELECT s.vec_id, s.signature, m.embedding
+      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id),
+q AS (SELECT vec_id AS q_id, signature, embedding AS q_emb
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         round({dot} / ({_l2('q.q_emb')} * {_l2('c.embedding')}), 6) AS cosine
+  FROM e c JOIN q ON c.signature = q.signature AND c.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= {TOP_K}"""
+
+
+REGISTRY["td_sim_ann_lsh_topk"] = (ann_topk_lsh, _ann_lsh_sql())
 
 
 # ------------------------------------------- embedding-cosine near-dup
