@@ -57,10 +57,42 @@ def synth_media_bytes(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
 
 def _decode_real(payload: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "real codecs (cv2/PIL/ffmpeg) are not available in this container; "
-        "swap this in production"
-    )
+    """Production codec path, resolved at CALL time so the same wheel
+    runs in this codec-less sandbox and on a cluster image that ships
+    cv2/PIL: try cv2.imdecode + BGR→RGB (the reference's decode,
+    run_client.py:163-166), then PIL, else raise NotImplementedError —
+    which _decode() catches to fall back to the deterministic fake.
+    Resolving per-call (not import time) matters on Spark: executors
+    re-import this module independently, so a heterogeneous cluster
+    degrades per-worker instead of failing the job."""
+    try:
+        import cv2  # type: ignore[import-not-found]
+    except ImportError:
+        cv2 = None
+    if cv2 is not None:
+        img = cv2.imdecode(np.frombuffer(payload, np.uint8), 1)
+        if img is None:
+            raise ValueError("payload not decodable as an image")
+        return img[:, :, ::-1]  # BGR → RGB channel fix, run_client.py:165
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "no codec available (cv2/PIL not installed)"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+
+def _decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """The decode seam decode_images actually calls: real codec when
+    one is installed, deterministic fake otherwise (same HxWx3 uint8
+    contract either way)."""
+    try:
+        return _decode_real(payload)
+    except NotImplementedError:
+        return _decode_fake(payload, width, height)
 
 
 def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -87,7 +119,7 @@ def decode_images(df: DataFrame) -> DataFrame:
                 pdf["media_ref"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 try:
-                    img = _decode_fake(bytes(payload), int(w), int(h))
+                    img = _decode(bytes(payload), int(w), int(h))
                     rows.append(
                         (ref, img.shape[1], img.shape[0], img.shape[2],
                          float(img.mean()), True)
