@@ -417,3 +417,74 @@ def test_streaming_upsert_folds_batches_in_order(spark, tmp_path):
     streaming_upsert(spark, in_dir, tgt, ckpt, schema)
     again = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
     assert again == got
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join (claims ⋈ results within
+    the hour) equals the batch join on the same events — including a
+    result arriving in a LATER micro-batch than its claim (cross-batch
+    state), an out-of-window result (excluded), and an unanswered claim
+    (no row; inner join)."""
+    import datetime as dt
+
+    from pero_ocr_api_spark.streaming.join_stream import (
+        JOIN_WINDOW_SECS, claim_result_stream, joined_frame,
+    )
+
+    base = tmp_path_factory.mktemp("ssjoin")
+    c_dir, r_dir = str(base / "claims"), str(base / "results")
+    out_dir, ckpt = str(base / "out"), str(base / "ck")
+    os.makedirs(c_dir, exist_ok=True)
+    os.makedirs(r_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    claims = [
+        ("p1", 1, sec(0)),       # answered in results batch 1
+        ("p2", 1, sec(10)),      # answered in results batch 2 (cross-batch)
+        ("p3", 2, sec(20)),      # answered too late -> excluded
+        ("p4", 2, sec(30)),      # never answered -> no row
+        ("p5", 1, sec(40)),      # two results in window -> two rows
+    ]
+    results_b1 = [
+        ("p1", "PROCESSED", sec(600)),
+        ("p5", "PROCESSED", sec(700)),
+    ]
+    results_b2 = [
+        ("p2", "PROCESSING_FAILED", sec(1200)),
+        ("p3", "PROCESSED", sec(20 + JOIN_WINDOW_SECS + 1)),
+        ("p5", "PROCESSING_FAILED", sec(800)),
+    ]
+    c_schema = "page_id string, engine_id bigint, claim_ts timestamp"
+    r_schema = "page_id string, status string, finish_ts timestamp"
+    spark.createDataFrame(claims, c_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(c_dir)
+    spark.createDataFrame(results_b1, r_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(r_dir)
+    spark.createDataFrame(results_b2, r_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(r_dir)
+
+    claim_result_stream(spark, c_dir, r_dir, out_dir, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+
+    want = {
+        tuple(r)
+        for r in joined_frame(
+            spark.createDataFrame(claims, c_schema),
+            spark.createDataFrame(results_b1 + results_b2, r_schema),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 4  # p1, p2, p5 x2; p3 out-of-window, p4 unmatched
+    assert {r[0] for r in got} == {"p1", "p2", "p5"}
+
+    # incremental drain: a new result for the (still-buffered) p4 claim
+    spark.createDataFrame(
+        [("p4", "PROCESSED", sec(900))], r_schema
+    ).coalesce(1).write.mode("append").parquet(r_dir)
+    claim_result_stream(spark, c_dir, r_dir, out_dir, ckpt)
+    got2 = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert len(got2) == 5 and ("p4" in {r[0] for r in got2})
