@@ -20,6 +20,25 @@ per-run jitter even for a median-of-n (observed: td_dedup_simhash
 identical plan).  A real plan regression on a query that small is
 invisible in wall time anyway; the relative gate still guards every
 query whose runtime can carry signal.
+
+Since round 4 the gate compares MIN-of-reps vs best-prior MIN-of-reps
+(VERDICT r3 #6): a single VM-stall rep inflates a median of 3 (r03's
+td_dedup_minhash reps were [5.79, 3.46, 5.66] — two stalled reps around
+a clean 3.46), but cannot inflate the min; and a plan that genuinely
+got slower raises even its best rep.  Medians stay in the table for
+reporting.  Raw samples are parsed from each BENCH_r{N}.json's "tail"
+(bench.py prints a `samples: {...}` line before the result JSON);
+rounds without samples fall back to their median.
+
+The gate also DEFLATES for whole-VM speed drift: the same code on the
+same data measured 5× slower across a sandbox re-provision (round 4:
+cp_tpch_q1 0.59 s → 2.8 s warm with an identical plan, every query
+shifted together).  A real plan regression is one query moving against
+the fleet, so when the MEDIAN per-query ratio vs best-prior exceeds
+DEFLATE_TRIGGER the per-query ratios are divided by that median before
+the threshold test (and the absolute floor scales with it).  A global
+shift flags nothing; a single query regressing 20% beyond the global
+shift still flags.
 """
 
 from __future__ import annotations
@@ -28,11 +47,15 @@ import glob
 import json
 import os
 import re
+import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGRESSION_PCT = 20.0
 ABS_FLOOR_S = 0.5
+# median per-query ratio above which the round is treated as a
+# whole-VM speed shift and per-query ratios are deflated by it
+DEFLATE_TRIGGER = 1.15
 
 
 def load_rounds() -> list[tuple[int, dict]]:
@@ -45,8 +68,28 @@ def load_rounds() -> list[tuple[int, dict]]:
             data = json.load(f)
         parsed = data.get("parsed", data)
         if "queries" in parsed:
+            parsed = dict(parsed)
+            parsed["mins"] = _per_query_mins(data, parsed)
             rounds.append((int(m.group(1)), parsed))
     return sorted(rounds)
+
+
+def _per_query_mins(data: dict, parsed: dict) -> dict:
+    """Best (min) rep per query: parsed from the `samples: {...}` line
+    bench.py prints into the driver's captured tail; a round without
+    samples contributes its median as the min (conservative — an old
+    median can only make the prior bar HARDER to regress against)."""
+    mins = dict(parsed["queries"])
+    m = re.search(r"samples: (\{.*\})", data.get("tail", ""))
+    if m:
+        try:
+            samples = json.loads(m.group(1))
+            for q, reps in samples.items():
+                if isinstance(reps, list) and reps:
+                    mins[q] = min(reps)
+        except (ValueError, TypeError):
+            pass
+    return mins
 
 
 def main() -> int:
@@ -60,16 +103,41 @@ def main() -> int:
             if q not in names:
                 names.append(q)
 
+    # whole-VM drift deflator: median per-query ratio of current min
+    # vs best-prior min across the fleet.  > DEFLATE_TRIGGER means the
+    # machine itself got slower (or faster, symmetric) — divide every
+    # per-query ratio by it so only AGAINST-the-fleet movement flags.
+    deflate = 1.0
+    if len(rounds) >= 2:
+        ratios = []
+        for q in names:
+            cur = rounds[-1][1]["mins"].get(q)
+            priors = [
+                p["mins"][q] for _, p in rounds[:-1] if p["mins"].get(q)
+            ]
+            if cur and priors:
+                ratios.append(cur / min(priors))
+        if ratios:
+            med = statistics.median(ratios)
+            if med > DEFLATE_TRIGGER:
+                deflate = med
+
     header = "| query | " + " | ".join(f"r{n:02d} (s)" for n, _ in rounds)
-    header += " | Δ last (%) | Δ best-prior (%) |"
+    header += " | Δ last (%) | Δ best-prior min (%) |"
     sep = "|---" * (len(rounds) + 3) + "|"
     lines = [
-        "# BENCH trend — per-query wall seconds by round",
+        "# BENCH trend — per-query wall seconds by round (medians)",
         "",
-        f"Regression gate: +{REGRESSION_PCT:.0f}% AND "
-        f">{ABS_FLOOR_S:.1f}s absolute vs BEST prior round "
-        "(noise-robust — see trend.py docstring); Δ last shown for "
-        "context only.",
+        f"Regression gate: current MIN-of-reps +{REGRESSION_PCT:.0f}% AND "
+        f">{ABS_FLOOR_S:.1f}s absolute vs BEST prior round's min-of-reps "
+        "(noise-robust: a single VM-stall rep cannot flip the gate either "
+        "way — see trend.py docstring); Δ last shown for context only."
+        + (
+            f"  Whole-VM drift deflator applied this round: ×{deflate:.2f} "
+            "(fleet-median slowdown; only against-the-fleet movement flags)."
+            if deflate != 1.0
+            else ""
+        ),
         "",
         header,
         sep,
@@ -82,18 +150,20 @@ def main() -> int:
             cells.append("—" if v is None else f"{v:.3f}")
         delta = dbest = "—"
         if len(rounds) >= 2:
-            cur = rounds[-1][1]["queries"].get(q)
+            cur_med = rounds[-1][1]["queries"].get(q)
             prev = rounds[-2][1]["queries"].get(q)
+            cur = rounds[-1][1]["mins"].get(q)
             priors = [
-                p["queries"][q] for _, p in rounds[:-1] if p["queries"].get(q)
+                p["mins"][q] for _, p in rounds[:-1] if p["mins"].get(q)
             ]
-            if prev and cur:
-                delta = f"{(cur - prev) / prev * 100.0:+.1f}"
+            if prev and cur_med:
+                delta = f"{(cur_med - prev) / prev * 100.0:+.1f}"
             if priors and cur:
                 best = min(priors)
-                pct = (cur - best) / best * 100.0
+                adj = cur / deflate
+                pct = (adj - best) / best * 100.0
                 dbest = f"{pct:+.1f}"
-                if pct > REGRESSION_PCT and (cur - best) > ABS_FLOOR_S:
+                if pct > REGRESSION_PCT and (adj - best) > ABS_FLOOR_S:
                     regressed.append((q, pct))
         lines.append(
             f"| {q} | " + " | ".join(cells) + f" | {delta} | {dbest} |"
