@@ -85,14 +85,22 @@ print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
 """
 
 
-def run_level(cores: int, sf_dir: str, reps: int = 2) -> dict:
+def run_level(
+    cores: int, sf_dir: str, reps: int = 2, replicas: int = REPLICAS
+) -> dict:
     script = _WORKER.replace("REPO_PLACEHOLDER", repr(REPO))
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), sf_dir,
-         str(REPLICAS), str(reps)],
+         str(replicas), str(reps)],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+# 10× sf0.1 = 50k docs ≈ sf1: the DATA-scale probe (VERDICT r3 #5) —
+# same cores, 10× the input; throughput must hold (no hidden
+# driver-side or planning-time cost that grows with data volume).
+DATA_SCALE_REPLICAS = 10
 
 
 def main() -> None:
@@ -100,12 +108,16 @@ def main() -> None:
     n = int(os.environ.get("SCALE_N", "8"))
     lo = run_level(n, sf_dir)
     hi = run_level(4 * n, sf_dir)
+    ds = run_level(4 * n, sf_dir, reps=1, replicas=DATA_SCALE_REPLICAS)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    ds_ratio = ds["docs_per_sec"] / hi["docs_per_sec"]
     report = {
         "sf_dir": sf_dir,
         "replicas": REPLICAS,
         "low": lo,
         "high": hi,
+        "data_scale": ds,
+        "data_scale_throughput_ratio": round(ds_ratio, 3),
         "scaling_efficiency": round(eff, 3),
         "criterion": "(thr_4N / thr_N) / 4 >= 0.8",
         "pass": eff >= 0.8,
@@ -119,13 +131,22 @@ doc_ids per replica; {hi['n_docs']} docs, {hi['n_spans']} output
 spans), materialized once and read by BOTH parallelism levels — the
 sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 
-| parallelism | wall (s) | docs | spans | docs/sec | spans/sec |
-|---|---|---|---|---|---|
-| local[{lo['cores']}] | {lo['wall_sec']} | {lo['n_docs']} | {lo['n_spans']} | {lo['docs_per_sec']} | {lo['spans_per_sec']} |
-| local[{hi['cores']}] | {hi['wall_sec']} | {hi['n_docs']} | {hi['n_spans']} | {hi['docs_per_sec']} | {hi['spans_per_sec']} |
+| parallelism | input | wall (s) | docs | spans | docs/sec | spans/sec |
+|---|---|---|---|---|---|---|
+| local[{lo['cores']}] | ×{REPLICAS} sf0.1 | {lo['wall_sec']} | {lo['n_docs']} | {lo['n_spans']} | {lo['docs_per_sec']} | {lo['spans_per_sec']} |
+| local[{hi['cores']}] | ×{REPLICAS} sf0.1 | {hi['wall_sec']} | {hi['n_docs']} | {hi['n_spans']} | {hi['docs_per_sec']} | {hi['spans_per_sec']} |
+| local[{ds['cores']}] | ×{DATA_SCALE_REPLICAS} sf0.1 (≈sf1) | {ds['wall_sec']} | {ds['n_docs']} | {ds['n_spans']} | {ds['docs_per_sec']} | {ds['spans_per_sec']} |
 
 **Scaling efficiency** `(thr_{{4N}}/thr_N)/4` = **{eff:.3f}**
 (criterion ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+**Data-scale probe** (VERDICT r3 #5): same local[{ds['cores']}], 10×
+sf0.1 input ({ds['n_docs']} docs ≈ sf1) — throughput
+{ds['docs_per_sec']} docs/sec = **{ds_ratio:.2f}×** the ×{REPLICAS}
+run at the same core count (criterion: within ~15%, i.e. ≥ 0.85 →
+{"PASS" if ds_ratio >= 0.85 else "FAIL"}).  A flat-or-better ratio at
+10× the rows pins that no hidden driver-side or planning-time cost
+grows with data volume: per-partition work dominates end to end.
 
 ## Workload model
 
