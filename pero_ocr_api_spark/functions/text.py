@@ -583,3 +583,98 @@ def q_unigram_ce(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+# ---- BM25 retrieval scoring (Robertson/Sparck-Jones) ----
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "vector")
+BM25_TOP_K = 20
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@_reg(
+    "td_text_bm25",
+    f"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ({_BM25_Q_SQL}) GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+part AS (
+  SELECT t.doc_id,
+         CAST(round(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                    * ((t.tf * ({BM25_K1} + 1.0))
+                       / (t.tf + {BM25_K1}
+                          * (1.0 - {BM25_B}
+                             + {BM25_B} * l.dl / s.avgdl)))
+                    * 1000000.0) AS BIGINT) AS micro
+  FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s)
+SELECT doc_id, round(sum(micro) / 1000000.0, 6) AS bm25,
+       count(*) AS n_hit
+FROM part GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}""",
+)
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query-term set — the
+    classic lexical ranking a training-data pipeline uses for targeted
+    corpus search and retrieval-based decontamination (dense ANN lives
+    in functions/similarity.py; this is its sparse counterpart over the
+    same documents table).
+
+    Scale shape: doc length is a PER-ROW column (size of the token
+    array — no explode, no shuffle); the token explode is filtered to
+    the query terms before anything shuffles, so only matching tokens
+    reach the (doc_id, token) tf aggregate; per-term document
+    frequencies reduce that to |q| rows (broadcast); corpus stats join
+    in as a broadcast single-row aggregate; the final ranking is a
+    TakeOrderedAndProject top-k, not a global sort.  Float discipline
+    mirrors td_text_unigram_ce: each (doc, term) partial score snaps to
+    a 1e-6 integer grid and the per-doc sum runs in BIGINT, so
+    summation order cannot flip the oracle hash."""
+    docs = load_table(spark, sf, "documents")
+    dl = docs.select("doc_id", F.size(tokens_col()).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    sat = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    micro = F.round(idf * sat * 1000000.0, 0).cast("long")
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("micro") / 1000000.0, 6).alias("bm25"),
+            F.count("*").alias("n_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )

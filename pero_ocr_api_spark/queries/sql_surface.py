@@ -220,3 +220,111 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
 
 for _name, _sql in _TPCH_EXTRA.items():
     REGISTRY[_name] = (_sparksql_runner(_sql), _sql)
+
+
+# Round 4: the remaining TPC-H shapes expressible over the driver's
+# simplified schema (q2/q9/q11/q16/q20 need partsupp, which the
+# testdata does not ship; q4's EXISTS shape is cp_sql_exists_late_ship
+# above).  Where an original column is absent the query keeps the
+# SHAPE (the plan pattern Catalyst must get right) with the available
+# columns — noted per query.
+_TPCH_ROUND4 = {
+    # Q3: shipping-priority revenue — segment-filtered 3-way join,
+    # grouped money agg, deterministic top-10 (no o_shippriority
+    # column; rounded-revenue + orderkey ordering).
+    "cp_sql_tpch_q3_shipping": """
+SELECT o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND l.l_shipdate > DATE '1997-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey
+LIMIT 10""",
+    # Q12 shape: late-shipment priority mix — join + conditional
+    # two-way count split (l_linestatus stands in for the absent
+    # l_shipmode; lateness is shipdate vs orderdate+90d instead of the
+    # absent commit/receipt dates).
+    "cp_sql_tpch_q12_late_mix": """
+SELECT l.l_linestatus AS linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY l.l_linestatus""",
+    # Q17: small-quantity-order revenue — correlated scalar AVG
+    # subquery per part.  l_quantity is integer-valued, so sum/avg are
+    # EXACT in double (order-independent) — no cross-engine float
+    # boundary at the 0.5*avg comparison.
+    "cp_sql_tpch_q17_small_qty": """
+SELECT CAST(round(sum(l.l_extendedprice) / 7.0, 0) AS BIGINT) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)""",
+    # Q18: large-volume customers — IN over a grouped HAVING subquery,
+    # then re-aggregate with the customer dim; integer quantity sums.
+    "cp_sql_tpch_q18_big_orders": """
+SELECT c.c_name AS name, o.o_orderkey AS orderkey,
+       o.o_orderdate AS orderdate,
+       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+ORDER BY total_qty DESC, orderkey
+LIMIT 20""",
+    # Q21 shape: suppliers who kept orders waiting — EXISTS (another
+    # supplier in the order) + NOT EXISTS (anyone shipped later), i.e.
+    # the sole latest shipper in a multi-supplier order (shipdate vs
+    # orderdate+60d replaces the absent commit/receipt pair).
+    "cp_sql_tpch_q21_late_supplier": """
+SELECT s.s_name AS supp_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, supp_name
+LIMIT 10""",
+    # Q22 shape: well-funded customers gone idle — scalar-subquery
+    # balance floor (floor() of an exact-ish mean: integer grid, 3
+    # orders of magnitude from float summation noise) + windowed
+    # NOT EXISTS anti-join on recent orders (every sf0.01 customer has
+    # SOME order, so the original "never ordered" predicate is empty
+    # by construction; "no order since 1999" keeps the anti shape).
+    "cp_sql_tpch_q22_idle_funded": """
+SELECT n.n_name AS nation, count(*) AS numcust,
+       CAST(round(sum(c.c_acctbal), 0) AS BIGINT) AS totacctbal
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > (SELECT floor(avg(c2.c_acctbal)) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1999-01-01')
+GROUP BY n.n_name""",
+}
+
+for _name, _sql in _TPCH_ROUND4.items():
+    REGISTRY[_name] = (_sparksql_runner(_sql), _sql)
