@@ -75,11 +75,16 @@ def load_rounds() -> list[tuple[int, dict]]:
 
 
 def _per_query_mins(data: dict, parsed: dict) -> dict:
-    """Best (min) rep per query: parsed from the `samples: {...}` line
-    bench.py prints into the driver's captured tail; a round without
-    samples contributes its median as the min (conservative — an old
-    median can only make the prior bar HARDER to regress against)."""
+    """Best (min) rep per query: bench.py's explicit `queries_min`
+    field when present (round ≥ 4), else parsed from the
+    `samples: {...}` line in the driver's captured tail; a round
+    without either contributes its median as the min (conservative —
+    an old median can only make the prior bar HARDER to regress
+    against)."""
     mins = dict(parsed["queries"])
+    if isinstance(parsed.get("queries_min"), dict):
+        mins.update(parsed["queries_min"])
+        return mins
     m = re.search(r"samples: (\{.*\})", data.get("tail", ""))
     if m:
         try:
