@@ -480,3 +480,18 @@ def test_codec_seam_pluggable(monkeypatch):
     fake_cv2.imdecode = lambda buf, flag: None
     with pytest.raises(ValueError):
         mm._decode(b"junk", 4, 2)
+
+
+def test_bm25_plan_topk_and_broadcasts(spark, sf_smoke):
+    """BM25's physical plan must rank via TakeOrderedAndProject (top-k,
+    never a global Sort+Limit over the corpus) and bring df / corpus
+    stats in as broadcasts — the shapes that keep it one filtered
+    shuffle at 100 TB."""
+    from pero_ocr_api_spark.functions.text import q_bm25
+
+    plan = (
+        q_bm25(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
