@@ -107,3 +107,83 @@ def claim_result_stream(
     )
     query.awaitTermination()
     return query
+
+
+def timeout_frame(claims: DataFrame, results: DataFrame) -> DataFrame:
+    """Batch twin of the timeout detector: claims with NO result inside
+    the join window (left anti on the same interval condition).  The
+    reference finds these with a periodic sweep over the pages table
+    (the timeout requeue job, app/__init__.py:71-151); relationally it
+    is the complement of joined_frame."""
+    cond = (
+        (F.col("c.page_id") == F.col("r.page_id"))
+        & (F.col("r.finish_ts") >= F.col("c.claim_ts"))
+        & (
+            F.col("r.finish_ts")
+            <= F.col("c.claim_ts")
+            + F.expr(f"INTERVAL {JOIN_WINDOW_SECS} SECONDS")
+        )
+    )
+    return (
+        claims.alias("c")
+        .join(results.alias("r"), cond, "left_anti")
+        .select("page_id", "engine_id", "claim_ts")
+    )
+
+
+def claim_timeout_stream(
+    spark: SparkSession,
+    claims_dir: str,
+    results_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming timeout detector: LEFT OUTER watermarked interval join
+    — a claim row whose result columns are NULL is a timeout.  Outer
+    stream-stream joins are the one place Structured Streaming *delays*
+    emission by design: an unmatched claim is held in state until the
+    RESULTS watermark passes claim_ts + JOIN_WINDOW (only then is "no
+    result will ever arrive in the window" provable), so timeouts emit
+    exactly once, late by the results-side lateness bound.  State and
+    output are both bounded by the watermark horizon — the property
+    that lets this run forever over a 10^9-event/day feed.
+    """
+    claims = (
+        spark.readStream.schema(CLAIMS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(claims_dir)
+        .withWatermark("claim_ts", CLAIM_LATENESS)
+    )
+    results = (
+        spark.readStream.schema(RESULTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(results_dir)
+        .withWatermark("finish_ts", RESULT_LATENESS)
+    )
+    cond = (
+        (F.col("c.page_id") == F.col("r.page_id"))
+        & (F.col("r.finish_ts") >= F.col("c.claim_ts"))
+        & (
+            F.col("r.finish_ts")
+            <= F.col("c.claim_ts")
+            + F.expr(f"INTERVAL {JOIN_WINDOW_SECS} SECONDS")
+        )
+    )
+    out = (
+        claims.alias("c")
+        .join(results.alias("r"), cond, "leftOuter")
+        .filter(F.col("r.page_id").isNull())
+        .select(
+            F.col("c.page_id").alias("page_id"), "engine_id", "claim_ts"
+        )
+    )
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

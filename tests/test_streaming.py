@@ -488,3 +488,78 @@ def test_stream_stream_join_equals_batch(spark, tmp_path_factory):
     claim_result_stream(spark, c_dir, r_dir, out_dir, ckpt)
     got2 = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert len(got2) == 5 and ("p4" in {r[0] for r in got2})
+
+
+def test_stream_timeout_detector_equals_batch_anti(spark, tmp_path_factory):
+    """LEFT OUTER watermarked interval join as a timeout detector: a
+    claim with no in-window result emits (exactly once) after the
+    results watermark proves no match can still arrive — equals the
+    batch left-anti twin.  The out-of-window result (p3) and the
+    never-answered claim (p4) are timeouts; answered claims are not."""
+    import datetime as dt
+
+    from pero_ocr_api_spark.streaming.join_stream import (
+        JOIN_WINDOW_SECS, claim_timeout_stream, timeout_frame,
+    )
+
+    base = tmp_path_factory.mktemp("sstimeout")
+    c_dir, r_dir = str(base / "claims"), str(base / "results")
+    out_dir, ckpt = str(base / "out"), str(base / "ck")
+    os.makedirs(c_dir, exist_ok=True)
+    os.makedirs(r_dir, exist_ok=True)
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    claims = [
+        ("p1", 1, sec(0)),       # answered in window -> not a timeout
+        ("p3", 2, sec(20)),      # answered too late -> timeout
+        ("p4", 2, sec(30)),      # never answered -> timeout
+    ]
+    results = [
+        ("p1", "PROCESSED", sec(600)),
+        ("p3", "PROCESSED", sec(20 + JOIN_WINDOW_SECS + 1)),
+    ]
+    c_schema = "page_id string, engine_id bigint, claim_ts timestamp"
+    r_schema = "page_id string, status string, finish_ts timestamp"
+    spark.createDataFrame(claims, c_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(c_dir)
+    spark.createDataFrame(results, r_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(r_dir)
+
+    claim_timeout_stream(spark, c_dir, r_dir, out_dir, ckpt)
+    emitted_early = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    # nothing may emit yet: the results watermark has not passed
+    # claim_ts + window + lateness for ANY claim
+    want = {
+        tuple(r)
+        for r in timeout_frame(
+            spark.createDataFrame(claims, c_schema),
+            spark.createDataFrame(results, r_schema),
+        ).collect()
+    }
+    assert {r[0] for r in want} == {"p3", "p4"}
+    assert emitted_early <= want
+
+    # sentinel events far in the future on BOTH feeds advance both
+    # watermarks past every claim's timeout bound (left-outer eviction
+    # needs the claims watermark too, not just the results side); the
+    # sentinel claim itself stays buffered (nothing newer proves ITS
+    # timeout), so it never reaches the output
+    spark.createDataFrame(
+        [("zzz", "PROCESSED", sec(50 * 3600))], r_schema
+    ).coalesce(1).write.mode("append").parquet(r_dir)
+    spark.createDataFrame(
+        [("yyy", 9, sec(50 * 3600))], c_schema
+    ).coalesce(1).write.mode("append").parquet(c_dir)
+    claim_timeout_stream(spark, c_dir, r_dir, out_dir, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got <= want
+
+    # one more drain with no new data: the post-sentinel watermark is
+    # now in the checkpoint, so eviction completes; timeouts emit
+    # exactly once and answered claims never do
+    claim_timeout_stream(spark, c_dir, r_dir, out_dir, ckpt)
+    again = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert again == want
