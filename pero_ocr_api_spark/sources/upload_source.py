@@ -1,0 +1,155 @@
+"""Upload-inbox data source — the reference's client upload endpoint
+(`/root/reference/app/main/routes.py:27-133`: clients POST page images,
+the server lands them in a per-request directory and tracks each page)
+re-expressed as a first-class Spark TABLE via the Spark 4 Python
+DataSource API: an upload directory becomes relational rows
+(page_id, ext, valid, size_bytes, payload) readable with
+
+    register_upload_source(spark)
+    spark.read.format("pero_uploads").option("path", d).load()
+    spark.readStream.format("pero_uploads").option("path", d).load()
+
+Batch semantics: one row per regular file present at planning time.
+Streaming semantics: files are ordered by (mtime_ns, name); the offset
+is a cursor into that order, so each micro-batch sees exactly the
+files that landed since the last one — the inbox-drain loop the
+reference runs per HTTP request, as an incremental source.
+
+Scale notes: listing happens once on the driver (exactly like Spark's
+built-in file sources — at 10^9 files you front this with a manifest
+table instead, same rows); payload bytes are read EXECUTOR-side, one
+partition per file batch, so ingest bandwidth scales with the cluster,
+and the driver never holds file contents.  The extension whitelist
+(S6, config-example.py:8) is evaluated in the reader so invalid
+uploads surface as valid=false rows (the 422 branch of routes.py:99),
+not silent drops.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.ingest import ALLOWED_IMAGE_EXTENSIONS
+
+UPLOAD_SCHEMA = StructType(
+    [
+        StructField("page_id", StringType()),
+        StructField("ext", StringType()),
+        StructField("valid", BooleanType()),
+        StructField("size_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+# files per input partition: small enough to parallelize a burst of
+# uploads, large enough that a partition amortizes task overhead
+FILES_PER_PARTITION = 64
+
+
+def _list_uploads(path: str) -> list[tuple[str, int, int]]:
+    """(name, size, mtime_ns) for every regular file, ordered by
+    (mtime_ns, name) — a total order that is stable under appends, so a
+    streaming cursor into it never re-reads or skips."""
+    out = []
+    with os.scandir(path) as it:
+        for e in it:
+            if e.is_file():
+                st = e.stat()
+                out.append((e.name, st.st_size, st.st_mtime_ns))
+    out.sort(key=lambda t: (t[2], t[0]))
+    return out
+
+
+def _row(path: str, name: str, size: int):
+    stem, dot, ext = name.rpartition(".")
+    ext = ext.lower() if dot else ""
+    page_id = stem if dot else name
+    with open(os.path.join(path, name), "rb") as f:
+        payload = f.read()
+    return (page_id, ext, ext in ALLOWED_IMAGE_EXTENSIONS, size, payload)
+
+
+@dataclass
+class _FilesPartition(InputPartition):
+    names_sizes: list  # [(name, size), ...]
+
+
+class UploadBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+        self.files = [(n, s) for n, s, _ in _list_uploads(path)]
+
+    def partitions(self):
+        chunks = [
+            self.files[i : i + FILES_PER_PARTITION]
+            for i in range(0, len(self.files), FILES_PER_PARTITION)
+        ]
+        return [_FilesPartition(c) for c in chunks] or [_FilesPartition([])]
+
+    def read(self, partition: _FilesPartition):
+        for name, size in partition.names_sizes:
+            yield _row(self.path, name, size)
+
+
+class UploadStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": len(_list_uploads(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_uploads(self.path)[start["pos"] : end["pos"]]
+        chunks = [
+            files[i : i + FILES_PER_PARTITION]
+            for i in range(0, len(files), FILES_PER_PARTITION)
+        ]
+        return [
+            _FilesPartition([(n, s) for n, s, _ in c]) for c in chunks
+        ] or [_FilesPartition([])]
+
+    def read(self, partition: _FilesPartition):
+        for name, size in partition.names_sizes:
+            yield _row(self.path, name, size)
+
+    def commit(self, end: dict) -> None:
+        # offsets are positions in a stable listing; nothing to clean up
+        pass
+
+
+class UploadDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pero_uploads"
+
+    def schema(self) -> StructType:
+        return UPLOAD_SCHEMA
+
+    def reader(self, schema: StructType) -> UploadBatchReader:
+        return UploadBatchReader(self.options["path"])
+
+    def streamReader(self, schema: StructType) -> UploadStreamReader:
+        return UploadStreamReader(self.options["path"])
+
+
+def register_upload_source(spark) -> None:
+    spark.dataSource.register(UploadDataSource)

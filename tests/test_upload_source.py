@@ -1,0 +1,74 @@
+"""The custom Python DataSource (Spark 4 API): an upload directory as
+a relational table, batch and streaming (routes.py:27-133 analog)."""
+
+import os
+
+import pytest
+
+from pero_ocr_api_spark.sources import register_upload_source
+
+
+def _write(d, name, payload: bytes):
+    with open(os.path.join(d, name), "wb") as f:
+        f.write(payload)
+
+
+@pytest.fixture()
+def inbox(tmp_path):
+    d = tmp_path / "uploads"
+    d.mkdir()
+    _write(d, "page_001.jpg", b"\x01\x02\x03")
+    _write(d, "page_002.png", b"\x04\x05")
+    _write(d, "notes.txt", b"not an image")
+    _write(d, "noext", b"")
+    return str(d)
+
+
+def test_upload_batch_read(spark, inbox):
+    register_upload_source(spark)
+    df = spark.read.format("pero_uploads").option("path", inbox).load()
+    rows = {r.page_id: r for r in df.collect()}
+    assert set(rows) == {"page_001", "page_002", "notes", "noext"}
+    assert rows["page_001"].valid and rows["page_001"].ext == "jpg"
+    assert bytes(rows["page_001"].payload) == b"\x01\x02\x03"
+    assert rows["page_001"].size_bytes == 3
+    # the 422 branch: wrong extension surfaces as valid=false, not a drop
+    assert not rows["notes"].valid
+    assert not rows["noext"].valid and rows["noext"].ext == ""
+    # relational composition: the source is a normal DataFrame
+    assert df.filter("valid").count() == 2
+
+
+def test_upload_stream_incremental(spark, inbox, tmp_path):
+    register_upload_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("pero_uploads")
+            .option("path", inbox)
+            .load()
+            .drop("payload")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {r.page_id for r in spark.read.parquet(out).collect()}
+    assert first == {"page_001", "page_002", "notes", "noext"}
+
+    # new uploads land; a re-drain reads ONLY them (offset cursor)
+    _write(inbox, "page_003.tif", b"\x09")
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r.page_id for r in rows} == first | {"page_003"}
+    assert len(rows) == 5  # no re-reads: exactly-once per file
+
+    # idle re-drain appends nothing
+    drain()
+    assert spark.read.parquet(out).count() == 5
