@@ -80,15 +80,16 @@ _DRIVER_WINDOW = [
     "cp_sql_tpch_q17_small_qty", "cp_sql_tpch_q18_big_orders",
     "cp_sql_tpch_q21_late_supplier", "cp_sql_tpch_q22_idle_funded",
     # new in round 4: BM25 top-k lexical retrieval (sparse counterpart
-    # of the ANN plane; slot freed by demoting r03-green
-    # td_decontaminate, unchanged since).
-    "td_text_bm25",
+    # of the ANN plane), Zipf-exponent corpus-health fit (regr_*
+    # aggregates), event-transition Markov matrix (slots freed by
+    # demoting r03-green td_decontaminate / td_stratified_sample /
+    # td_pii_redact, unchanged since).
+    "td_text_bm25", "td_text_zipf", "td_event_markov",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
     # queries appended above this line.
     "td_sketch_distinct",
-    "td_stratified_sample", "td_pii_redact",
     "td_length_winsorize", "td_sim_pq_encode",
     "cp_sm_claim",
     "cp_cfg_engine_knobs",

@@ -426,3 +426,49 @@ def q_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(w).alias("n_7d"),
         F.round(F.sum("value").over(w), 4).alias("sum_7d"),
     )
+
+
+# ---- event-type transition matrix (Markov chain estimation) ----
+@_reg(
+    "td_event_markov",
+    """WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+         AS p
+FROM pairs""",
+)
+def q_event_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-model estimation step behind funnel
+    design and anomaly scoring (which observed chains are improbable).
+
+    Scale shape: ONE user_id shuffle for the lag window (the same
+    partitioning sessionize and the rolling window already use — on a
+    user-bucketed layout it is shuffle-free), then a combine-shuffled
+    count over at most |types|² keys and a window over that tiny
+    aggregate.  Probabilities are exact integer ratios rounded at 6dp,
+    so cross-engine summation order cannot flip the hash."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("p"),
+    )

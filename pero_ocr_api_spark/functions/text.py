@@ -678,3 +678,53 @@ def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ---- Zipf-law fit over the corpus rank-frequency curve ----
+@_reg(
+    "td_text_zipf",
+    """WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+  FROM vocab)
+SELECT count(*) AS n_types,
+       round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rank)), 6) AS ln_c1
+FROM ranked""",
+)
+def q_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Least-squares Zipf exponent of the corpus rank-frequency curve
+    (natural text ≈ -1; a far-off slope is a corpus-health smell —
+    boilerplate floods flatten it, dedup failures steepen it).
+
+    Scale shape: the vocab count is the only token-volume shuffle; the
+    regression runs over |vocab| rows via the regr_* aggregate family
+    (mergeable sufficient statistics — one partial per partition, the
+    same shape at 100 TB).  The rank window is global — a single-task
+    sort of the VOCAB relation (corpus-sublinear; fine to ~1e8 types).
+    At a vocabulary that outgrows one task, swap in the df-histogram
+    two-pass rank, or fit on the td_text_vocab top-k: the Zipf tail
+    below it contributes ~zero leverage to the regression.  ln/regr arithmetic is float64 in both
+    engines over identical integer (c, rank) inputs; 6dp rounding
+    absorbs the ulp-level summation-order drift."""
+    docs = load_table(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = vocab.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "token"))
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.expr("regr_slope(ln(c), ln(rank))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(c), ln(rank))"), 6).alias("ln_c1"),
+    )
