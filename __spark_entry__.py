@@ -85,12 +85,15 @@ _DRIVER_WINDOW = [
     # demoting r03-green td_decontaminate / td_stratified_sample /
     # td_pii_redact, unchanged since).
     "td_text_bm25", "td_text_zipf", "td_event_markov",
+    # new in round 4: VariantType semi-structured aggregation (slot
+    # freed by demoting r03-green td_length_winsorize).
+    "td_event_props_variant",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
     # queries appended above this line.
     "td_sketch_distinct",
-    "td_length_winsorize", "td_sim_pq_encode",
+    "td_sim_pq_encode",
     "cp_sm_claim",
     "cp_cfg_engine_knobs",
     "td_dedup_substring",

@@ -472,3 +472,43 @@ def q_event_markov(spark: SparkSession, sf: str) -> DataFrame:
         "prev_type", "next_type", "n",
         F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("p"),
     )
+
+
+# ---- semi-structured props via VariantType (Spark 4) ----
+@_reg(
+    "td_event_props_variant",
+    """SELECT event_type,
+       CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER)
+         AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS k_sum
+FROM events
+GROUP BY event_type,
+         CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER)""",
+)
+def q_event_props_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate over a semi-structured payload column through Spark
+    4's VariantType: ``parse_json`` once into the binary variant
+    encoding, then typed ``try_variant_get`` path extraction — the
+    open-lakehouse answer to schemaless event properties (vs. string
+    re-parsing per access or a rigid struct migration).
+
+    Scale shape: parse + extract are per-row codegen expressions (no
+    Python, no shuffle); the group-by is an ordinary combine-shuffled
+    aggregate over |types|×|buckets| keys.  At 100 TB the variant
+    column prunes and pushes like any other — and a real deployment
+    parses ONCE at ingest and stores variant, making every downstream
+    path access shredding-cheap; this query is that downstream shape.
+    (DuckDB oracles the same result from its native JSON extraction —
+    integer k, so bucket arithmetic is exact in both engines.)"""
+    ev = load_table(spark, sf, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            (F.col("k") / F.lit(10)).cast("int").alias("k_bucket"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("k_sum"))
+    )
