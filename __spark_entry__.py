@@ -88,17 +88,22 @@ _DRIVER_WINDOW = [
     # new in round 4: VariantType semi-structured aggregation (slot
     # freed by demoting r03-green td_length_winsorize).
     "td_event_props_variant",
+    # new in round 4b: the five TPC-H shapes that need partsupp —
+    # derived in-SQL from deterministic key arithmetic (q2 correlated
+    # MIN, q9 profit multi-join, q11 scalar-fraction HAVING, q16
+    # NOT IN anti, q20 nested IN + correlated 0.5*sum).  Slots freed
+    # by demoting five r03-green unchanged entries (cp_sm_claim,
+    # cp_cfg_engine_knobs, td_dedup_substring, cp_sm_claim_auth,
+    # cp_admin_add_key).
+    "cp_sql_tpch_q2_min_cost", "cp_sql_tpch_q9_profit",
+    "cp_sql_tpch_q11_stock", "cp_sql_tpch_q16_supp_count",
+    "cp_sql_tpch_q20_excess_stock",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
     # queries appended above this line.
     "td_sketch_distinct",
     "td_sim_pq_encode",
-    "cp_sm_claim",
-    "cp_cfg_engine_knobs",
-    "td_dedup_substring",
-    "cp_sm_claim_auth",
-    "cp_admin_add_key",
     "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical",
     "td_pack_sequences",

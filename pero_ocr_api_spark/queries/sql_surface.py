@@ -328,3 +328,121 @@ GROUP BY n.n_name""",
 
 for _name, _sql in _TPCH_ROUND4.items():
     REGISTRY[_name] = (_sparksql_runner(_sql), _sql)
+
+
+# Round 4b: the five TPC-H shapes that need partsupp (q2/q9/q11/q16/
+# q20).  The testdata ships no partsupp table, so each query DERIVES
+# one inside the SQL from pure key arithmetic (4 suppliers per part,
+# integer availqty, integer-cents supplycost) — deterministic and
+# engine-identical, so the oracle hash is meaningful while the PLAN
+# SHAPE (correlated min subquery, NOT IN anti, nested IN + scalar
+# 0.5*sum, profit multi-join) is exactly the TPC-H one.
+_PARTSUPP_CTE = """partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey + g.i * 25) % 100 AS BIGINT) AS ps_suppkey,
+         CAST((p_partkey * 7 + g.i * 13) % 1000 + 1 AS BIGINT)
+           AS ps_availqty,
+         CAST((p_partkey * 31 + g.i * 17) % 9000 + 1000 AS BIGINT)
+           AS ps_supplycost_cents
+  FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i))"""
+
+_TPCH_PARTSUPP = {
+    # Q2: min-cost supplier per part within a region — correlated MIN
+    # subquery over the region-restricted costs relation.
+    "cp_sql_tpch_q2_min_cost": f"""
+WITH {_PARTSUPP_CTE},
+costs AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE')
+SELECT s.s_acctbal AS acctbal, s.s_name AS supp_name, n.n_name AS nation,
+       p.p_partkey AS partkey, c.ps_supplycost_cents AS cost_cents
+FROM part p
+JOIN costs c ON c.ps_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'ECONOMY'
+  AND c.ps_supplycost_cents = (SELECT min(c2.ps_supplycost_cents)
+                               FROM costs c2
+                               WHERE c2.ps_partkey = p.p_partkey)
+ORDER BY acctbal DESC, nation, supp_name, partkey
+LIMIT 20""",
+    # Q9: product-type profit by nation and order year.  Profit terms
+    # are exact on the cents grid (supplycost integer cents × integer
+    # quantity); the extendedprice side rounds at 0dp like q3.
+    "cp_sql_tpch_q9_profit": f"""
+WITH {_PARTSUPP_CTE}
+SELECT n.n_name AS nation,
+       CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)
+                      - ps.ps_supplycost_cents / 100.0 * l.l_quantity),
+                  0) AS BIGINT) AS profit
+FROM part p
+JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+JOIN lineitem l ON l.l_partkey = ps.ps_partkey
+                AND l.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, extract(year FROM o.o_orderdate)""",
+    # Q11: important-stock identification — per-part stock value for
+    # one nation's suppliers, HAVING above a scalar-subquery fraction
+    # of the total.  Values are exact BIGINT cents.
+    "cp_sql_tpch_q11_stock": f"""
+WITH {_PARTSUPP_CTE},
+stock AS (
+  SELECT ps.ps_partkey,
+         CAST(sum(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT)
+           AS value_cents
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_1'
+  GROUP BY ps.ps_partkey)
+SELECT ps_partkey AS partkey, value_cents
+FROM stock
+WHERE value_cents > (SELECT 0.008 * sum(value_cents) FROM stock)
+ORDER BY value_cents DESC, partkey
+LIMIT 25""",
+    # Q16: supplier count per (brand, type, size) excluding
+    # blacklisted suppliers via NOT IN (the anti shape; the original
+    # blacklists on comment text — here a deterministic key predicate).
+    "cp_sql_tpch_q16_supp_count": f"""
+WITH {_PARTSUPP_CTE}
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT IN ('PROMO', 'LARGE')
+  AND p.p_size IN (11, 14, 23, 45, 49, 3, 36, 9)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_suppkey % 13 = 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, brand, type, size
+LIMIT 30""",
+    # Q20: suppliers holding excess stock of shipped parts — nested
+    # IN subqueries with a correlated scalar 0.5*sum bound.
+    # l_quantity is integer so the half-sum comparison is exact.
+    "cp_sql_tpch_q20_excess_stock": f"""
+WITH {_PARTSUPP_CTE}
+SELECT s.s_name AS supp_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT ps.ps_suppkey FROM partsupp ps
+  WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+    AND ps.ps_availqty > (
+      SELECT 0.5 * coalesce(sum(l.l_quantity), 0) FROM lineitem l
+      WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+        AND l.l_shipdate >= DATE '1997-01-01'
+        AND l.l_shipdate < DATE '1998-01-01'))
+ORDER BY supp_name""",
+}
+
+for _name, _sql in _TPCH_PARTSUPP.items():
+    REGISTRY[_name] = (_sparksql_runner(_sql), _sql)

@@ -25,6 +25,11 @@ _BNLJ_OK = {
     "td_lang_rebalance",     # 1-row waterfill-scale aggregate crossed in
     "td_sketch_quantiles",   # 3-row quantile estimate crossed for rank_err
     "td_text_bm25",          # 1-row corpus-stats aggregate crossed in
+    # partsupp derivation: part × a fixed 4-row VALUES list (the
+    # deterministic in-SQL stand-in for the absent partsupp table)
+    "cp_sql_tpch_q2_min_cost", "cp_sql_tpch_q9_profit",
+    "cp_sql_tpch_q11_stock", "cp_sql_tpch_q16_supp_count",
+    "cp_sql_tpch_q20_excess_stock",
 }
 
 _QUERIES = [
