@@ -390,8 +390,12 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE p.p_name LIKE '%red%'
 GROUP BY n.n_name, extract(year FROM o.o_orderdate)""",
     # Q11: important-stock identification — per-part stock value for
-    # one nation's suppliers, HAVING above a scalar-subquery fraction
-    # of the total.  Values are exact BIGINT cents.
+    # one nation's suppliers, above a scalar-subquery bound.  The
+    # original's fraction-of-total threshold is scale-DEPENDENT (the
+    # spec retunes it per SF); 2x the mean keeps the scalar-subquery
+    # plan shape and stays selective-but-nonempty at every SF.  Values
+    # are exact BIGINT cents; avg of exact integers is the same double
+    # in both engines.
     "cp_sql_tpch_q11_stock": f"""
 WITH {_PARTSUPP_CTE},
 stock AS (
@@ -405,7 +409,7 @@ stock AS (
   GROUP BY ps.ps_partkey)
 SELECT ps_partkey AS partkey, value_cents
 FROM stock
-WHERE value_cents > (SELECT 0.008 * sum(value_cents) FROM stock)
+WHERE value_cents > (SELECT 2.0 * avg(value_cents) FROM stock)
 ORDER BY value_cents DESC, partkey
 LIMIT 25""",
     # Q16: supplier count per (brand, type, size) excluding
