@@ -98,6 +98,18 @@ _DRIVER_WINDOW = [
     "cp_sql_tpch_q2_min_cost", "cp_sql_tpch_q9_profit",
     "cp_sql_tpch_q11_stock", "cp_sql_tpch_q16_supp_count",
     "cp_sql_tpch_q20_excess_stock",
+    # new in round 4c: SemDeDup (k-means-cell-blocked embedding dedup),
+    # incremental batch-vs-corpus MinHash dedup (the 100 TB ingest
+    # shape: new docs probe the corpus band index, never corpus×corpus),
+    # and the BPE pair-count tokenizer-training step.  Slots freed by
+    # demoting three r02/r03-green unchanged SQL-twin entries
+    # (cp_sql_tpch_q10_returns, cp_sql_tpch_q7_volume,
+    # cp_sql_tpch_q15_top_supplier).
+    "td_dedup_semantic", "td_dedup_incremental", "td_text_bpe_pairs",
+    # round 4d: DSIR hashed-unigram importance weights (Xie et al.
+    # 2023) and the one-pass exact table profiler — slots freed by
+    # demoting cp_sql_tpch_q14_promo / q6_revenue (both r03-green).
+    "td_curation_dsir", "td_profile_documents",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -117,9 +129,6 @@ _DRIVER_WINDOW = [
     "td_lang_rebalance",
     "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
     "cp_sql_exists_late_ship",
-    "cp_sql_tpch_q6_revenue", "cp_sql_tpch_q14_promo",
-    "cp_sql_tpch_q10_returns", "cp_sql_tpch_q7_volume",
-    "cp_sql_tpch_q15_top_supplier",
 ]
 
 

@@ -374,3 +374,89 @@ def q_lang_rebalance(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.lit(256.0) / F.col("rate256"), 6).alias("weight"),
         )
     )
+
+
+# ---- DSIR importance weights (data selection for LM pretraining) ----
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling": score every raw document by how much more likely its
+# hashed-n-gram features are under a small high-quality TARGET corpus
+# than under the RAW pool, then resample by that weight.  Here the
+# target is a deterministic source whitelist and features are hashed
+# unigrams (the paper hashes n-grams into 10k buckets; the bucket
+# count is a constant, not a scale parameter).
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+DSIR_BUCKETS = 256
+
+
+def _dsir_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    bucket = md5_byte_sql("token")
+    return f"""WITH tok AS (
+  SELECT doc_id, source IN ({srcs}) AS is_target,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+b AS (SELECT doc_id, is_target, {bucket} AS bucket FROM tok),
+stats AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+  FROM b GROUP BY bucket),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+rates AS (
+  SELECT bucket,
+         CAST(round((ln((ct + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                     - ln((cr + 1.0) / (tr + {DSIR_BUCKETS}.0)))
+                    * 1000000) AS BIGINT) AS micro
+  FROM stats CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(micro) / 1000000.0, 6) AS log_weight
+FROM b JOIN rates USING (bucket)
+GROUP BY doc_id"""
+
+
+@_reg("td_curation_dsir", _dsir_sql())
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document DSIR log importance weight: sum over the doc's
+    tokens of ln(p_target(bucket)) - ln(p_raw(bucket)), add-1 smoothed
+    over the fixed hashed-feature space.  Docs that look like the
+    target corpus score high; downstream selection keeps the top mass
+    (or Gumbel-resamples by weight — both are a filter over this
+    column).
+
+    Scale shape: the token explode and bucket hash are per-row codegen;
+    the feature stats collapse to a DSIR_BUCKETS-row relation (map-side
+    partials bound every partition's contribution to <=256 rows before
+    the exchange) and broadcast back onto the token stream, so the only
+    corpus-size shuffle is the final per-doc sum on doc_id.  Float
+    discipline = td_text_unigram_ce: each bucket's log-ratio snaps to a
+    1e-6 integer grid once, per-doc sums run in BIGINT — summation
+    order cannot flip the oracle hash."""
+    from .text import tokens_col
+
+    docs = load_table(spark, sf, "documents")
+    is_t = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    tok = docs.select(
+        "doc_id", is_t.alias("is_target"), F.explode(tokens_col()).alias("token")
+    )
+    b = tok.withColumn("bucket", md5_byte_col(F.col("token")))
+    stats = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    nb = float(DSIR_BUCKETS)
+    ratio = F.log((F.col("ct") + 1.0) / (F.col("tt") + nb)) - F.log(
+        (F.col("cr") + 1.0) / (F.col("tr") + nb)
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .select("bucket", F.round(ratio * 1000000.0, 0).cast("long").alias("micro"))
+    )
+    return (
+        b.join(F.broadcast(rates), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("micro") / 1000000.0, 6).alias("log_weight"),
+        )
+    )

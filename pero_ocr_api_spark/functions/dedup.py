@@ -137,6 +137,52 @@ def _sig_from_shingles(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_key_cols() -> list:
+    """The LSH band keys as pure column expressions over a signature
+    row (mh0..mhN) — shared by the full-corpus pass and the
+    incremental batch-vs-corpus pass so the band definition can never
+    drift between them."""
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    cols = []
+    for b in range(LSH_BANDS):
+        parts = [F.lit(f"{b}")] + [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        cols.append(F.md5(F.concat_ws(":", *parts)).alias(f"band{b}"))
+    return cols
+
+
+def _sig_key_col():
+    """Full-signature equality key (identical minhash signature ⇒
+    near-certain duplicate) — the star-pass / index-lookup key."""
+    return F.md5(
+        F.concat_ws(":", *[F.col(f"mh{p}") for p in range(MINHASH_PERMS)])
+    )
+
+
+def _mh_aggs_sql() -> str:
+    return ",\n         ".join(
+        f"min(md5('{p}:' || sh)) AS mh{p}" for p in range(MINHASH_PERMS)
+    )
+
+
+def _band_exprs_sql() -> str:
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    return ",\n    ".join(
+        "md5('{b}:' || {cols})".format(
+            b=b,
+            cols=" || ':' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+
+
+def _sig_cat_sql() -> str:
+    return " || ':' || ".join(f"mh{p}" for p in range(MINHASH_PERMS))
+
+
 def minhash_pairs(spark: SparkSession, sf: str, threshold: float = 0.5) -> DataFrame:
     """Candidate pairs from LSH band equality, verified by exact Jaccard
     over shingle sets; returns (doc_a, doc_b, jaccard>=threshold).
@@ -158,14 +204,9 @@ def minhash_pairs(spark: SparkSession, sf: str, threshold: float = 0.5) -> DataF
     table."""
     sh = shingles_df(spark, sf).localCheckpoint()
     sig = _sig_from_shingles(sh).localCheckpoint()
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    band_cols = []
-    for b in range(LSH_BANDS):
-        parts = [F.lit(f"{b}")] + [
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(F.md5(F.concat_ws(":", *parts)).alias(f"band{b}"))
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*_band_key_cols())).alias("band_key")
+    )
     # Over-full band keys are a TINY set by construction (each needs
     # >CAP colliding docs), so broadcast them as a blacklist instead of
     # joining a size column onto every band row — the r03 version's
@@ -195,11 +236,8 @@ def minhash_pairs(spark: SparkSession, sf: str, threshold: float = 0.5) -> DataF
         .select("doc_id")
         .distinct()
     )
-    sig_key = F.md5(
-        F.concat_ws(":", *[F.col(f"mh{p}") for p in range(MINHASH_PERMS)])
-    )
     big_sig = sig.join(big_docs, "doc_id").select(
-        "doc_id", sig_key.alias("sig_key")
+        "doc_id", _sig_key_col().alias("sig_key")
     )
     reps = big_sig.groupBy("sig_key").agg(F.min("doc_id").alias("doc_a"))
     cand_star = (
@@ -217,20 +255,9 @@ def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    mh_aggs = ",\n         ".join(
-        f"min(md5('{p}:' || sh)) AS mh{p}" for p in range(MINHASH_PERMS)
-    )
-    band_exprs = ",\n    ".join(
-        "md5('{b}:' || {cols})".format(
-            b=b,
-            cols=" || ':' || ".join(
-                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(LSH_BANDS)
-    )
-    sig_cat = " || ':' || ".join(f"mh{p}" for p in range(MINHASH_PERMS))
+    mh_aggs = _mh_aggs_sql()
+    band_exprs = _band_exprs_sql()
+    sig_cat = _sig_cat_sql()
     return f"""WITH {_SQL_SHINGLES.strip()},
 sig AS (
   SELECT doc_id, {mh_aggs}
@@ -449,3 +476,151 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# --------------------------------- incremental (batch-vs-corpus) dedup
+# At 100 TB you never re-dedup the whole corpus per ingest: the corpus
+# keeps a band-signature index and each incoming batch is checked
+# AGAINST it.  The split here is a deterministic md5 bucket so both
+# engines agree on who is "new" (~1/8 of docs).
+INC_SPLIT_BYTE = 32
+
+
+def _is_new_col():
+    from .hashing import md5_byte_col
+
+    return (
+        md5_byte_col(F.concat(F.lit("inc:"), F.col("doc_id").cast("string")))
+        < INC_SPLIT_BYTE
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash dedup of an incoming batch against the
+    existing corpus: band keys of NEW docs equi-join the CORPUS band
+    index (a semi-directional candidate join — new x corpus only,
+    never corpus x corpus), candidates verified by exact Jaccard, and
+    every new doc reports (n_matches, is_dup).
+
+    Scale shape: the corpus side is the persisted signature/band index
+    (here recomputed because the sandbox has one job; in production a
+    bucketed table keyed by band_key, so the candidate join is
+    shuffle-free on the corpus side).  Over-full corpus band keys
+    (boilerplate collisions) are a tiny set by construction and
+    broadcast as a blacklist — same guard as minhash_pairs; docs whose
+    bands are all blacklisted still dedup through the full-signature
+    star lookup (identical signature => near-certain dup), which is a
+    plain equi-join, linear in batch size.  Candidate volume is
+    (batch x matching corpus bands), bounded by LSH_BAND_CAP per band
+    key — nothing quadratic in corpus size anywhere."""
+    sh = shingles_df(spark, sf).localCheckpoint()
+    sig = _sig_from_shingles(sh).withColumn(
+        "is_new", _is_new_col()
+    ).localCheckpoint()
+    bands = sig.select(
+        "doc_id", "is_new",
+        F.explode(F.array(*_band_key_cols())).alias("band_key"),
+    )
+    new_b = bands.filter(F.col("is_new")).select("doc_id", "band_key")
+    corpus_b = bands.filter(~F.col("is_new")).select("doc_id", "band_key")
+    over = (
+        corpus_b.groupBy("band_key")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > LSH_BAND_CAP)
+        .select("band_key")
+    )
+    corpus_ok = corpus_b.join(F.broadcast(over), "band_key", "left_anti")
+    cand_band = (
+        new_b.join(corpus_ok.withColumnRenamed("doc_id", "doc_a"), "band_key")
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    sigk = sig.select("doc_id", "is_new", _sig_key_col().alias("sig_key"))
+    cand_star = (
+        sigk.filter(F.col("is_new"))
+        .select(F.col("doc_id").alias("doc_b"), "sig_key")
+        .join(
+            sigk.filter(~F.col("is_new")).select(
+                F.col("doc_id").alias("doc_a"), "sig_key"
+            ),
+            "sig_key",
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = cand_band.union(cand_star).distinct()
+    verified = _jaccard_verify(cand, sh, threshold=0.5)
+    matches = verified.groupBy("doc_b").agg(F.count("*").alias("n_matches"))
+    return (
+        sig.filter(F.col("is_new"))
+        .select("doc_id")
+        .join(matches.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+                "n_matches"
+            ),
+            F.when(F.col("n_matches").isNull(), 0).otherwise(1).alias("is_dup"),
+        )
+    )
+
+
+def _incremental_sql() -> str:
+    from .hashing import md5_byte_sql
+
+    is_new = (
+        f"({md5_byte_sql(chr(39) + 'inc:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+        f" < {INC_SPLIT_BYTE})"
+    )
+    return f"""WITH {_SQL_SHINGLES.strip()},
+sig AS (
+  SELECT doc_id, {_mh_aggs_sql()}
+  FROM sh GROUP BY doc_id),
+flags AS (SELECT doc_id, {is_new} AS is_new FROM sig),
+bands AS (
+  SELECT s.doc_id, f.is_new, unnest([
+    {_band_exprs_sql()}
+  ]) AS band_key
+  FROM sig s JOIN flags f ON f.doc_id = s.doc_id),
+over_keys AS (
+  SELECT band_key FROM (
+    SELECT band_key, count(*) AS bsz FROM bands WHERE NOT is_new
+    GROUP BY band_key) t
+  WHERE bsz > {LSH_BAND_CAP}),
+cand_band AS (
+  SELECT c.doc_id AS doc_a, n.doc_id AS doc_b
+  FROM bands n JOIN bands c
+    ON c.band_key = n.band_key AND n.is_new AND NOT c.is_new
+  WHERE c.band_key NOT IN (SELECT band_key FROM over_keys)),
+sigk AS (
+  SELECT s.doc_id, f.is_new, md5({_sig_cat_sql()}) AS sig_key
+  FROM sig s JOIN flags f ON f.doc_id = s.doc_id),
+cand_star AS (
+  SELECT c.doc_id AS doc_a, n.doc_id AS doc_b
+  FROM sigk n JOIN sigk c
+    ON c.sig_key = n.sig_key AND n.is_new AND NOT c.is_new),
+cand AS (
+  SELECT doc_a, doc_b FROM cand_band
+  UNION
+  SELECT doc_a, doc_b FROM cand_star),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE round(i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE), 6)
+        >= 0.5),
+matches AS (SELECT doc_b, count(*) AS n_matches FROM verified GROUP BY doc_b)
+SELECT f.doc_id,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       CASE WHEN m.n_matches IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM flags f LEFT JOIN matches m ON m.doc_b = f.doc_id
+WHERE f.is_new"""
+
+
+REGISTRY["td_dedup_incremental"] = (q_incremental_dedup, _incremental_sql())

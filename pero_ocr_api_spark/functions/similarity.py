@@ -738,3 +738,89 @@ def q_pq_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REGISTRY["td_sim_pq_search"] = (q_pq_search, _pq_search_sql())
+
+
+# ------------------------------------------------- SemDeDup (semantic dedup)
+SEMANTIC_DUP_THRESHOLD = NEAR_DUP_THRESHOLD  # same synthetic-cosine scale as the LSH near-dup plane
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space deduplication
+    blocked by k-means cell — cluster the corpus, then inside each
+    cluster drop every vector that has a LOWER-id neighbor with cosine
+    >= threshold (one survivor per near-dup neighborhood; downstream
+    connected-components in functions/cluster.py restores full
+    transitive groups when needed).  Returns every assigned vector
+    with its cell and a keep/drop verdict.
+
+    Scale shape: the cell assignment is the IVF broadcast-centroid
+    argmin (corpus never shuffles for it), and candidate pairs are
+    generated per-cell (equi-join on cell), never all-pairs.
+    Within-cell pairing is quadratic in cell size, so k must grow with
+    the corpus (cells ~ sqrt(N) keeps buckets bounded) — same contract
+    as the LSH near-dup blocker; the constant here is sized for the
+    test corpus.  The drop verdict is a broadcast-size DISTINCT of
+    dropped ids left-joined back — the corpus relation is touched
+    twice, shuffled never."""
+    a = _assignments(spark, sf).withColumn("norm", _norm(F.col("embedding")))
+    lhs = a.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"), "cell",
+    )
+    rhs = a.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"), "cell",
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
+    dropped = (
+        lhs.join(rhs, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("vec_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return a.select("vec_id", "cell").join(dropped, "vec_id", "left").select(
+        "vec_id", "cell",
+        F.when(F.col("dup").isNull(), 1).otherwise(0).alias("keep"),
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    def dot(x, y):
+        return " + ".join(
+            f"CAST({x}.embedding[{i}] AS DOUBLE) * CAST({y}.embedding[{i}] AS DOUBLE)"
+            for i in range(1, DIM + 1)
+        )
+
+    return f"""WITH cents AS (
+  SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.c_id,
+         round(({dot('e', 'c')})
+               / (sqrt({dot('e', 'e')}) * sqrt({dot('c', 'c')})), 6) AS cs
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM scored) t WHERE rn = 1),
+e AS (SELECT a.vec_id, a.cell, m.embedding
+      FROM assigned a JOIN embeddings m ON m.vec_id = a.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(({dot('a', 'b')})
+              / (sqrt({dot('a', 'a')}) * sqrt({dot('b', 'b')})), 6)
+        >= {SEMANTIC_DUP_THRESHOLD})
+SELECT e.vec_id, e.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM e LEFT JOIN dropped d ON d.vec_id = e.vec_id"""
+
+
+REGISTRY["td_dedup_semantic"] = (q_semantic_dedup, _semantic_dedup_sql())

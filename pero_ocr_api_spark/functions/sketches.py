@@ -110,3 +110,60 @@ def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("rank_err"),
     ).orderBy("q")
+
+
+# ---- exact one-pass table profiler (the oracle-able twin) ----
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_sql() -> str:
+    per_col = ",\n  ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c},\n"
+        f"  CAST(min({c}) AS VARCHAR) AS min_{c},"
+        f" CAST(max({c}) AS VARCHAR) AS max_{c}"
+        for c in _PROFILE_COLS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n_rows, nn_{c} AS n_non_null,"
+        f" nd_{c} AS n_distinct, min_{c} AS min_v, max_{c} AS max_v FROM s"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH s AS (\n  SELECT count(*) AS n_rows,\n  {per_col}\n  FROM documents)\n{rows}"
+
+
+@_reg("td_profile_documents", _profile_sql())
+def q_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data-quality profile of the documents table: per column
+    (rows, non-nulls, exact distincts, min, max) — the catalog-stats /
+    ingest-validation query every warehouse runs after a load.
+
+    Scale shape: Spark plans the multi-distinct aggregate as ONE scan
+    + Expand (each input row fans to |cols| tagged rows, partially
+    aggregated map-side before the single exchange) — the table is
+    read once, never |cols| times; min/max/count are plain mergeable
+    partials riding the same pass, and the stack() pivot at the end is
+    a 1-row row-generator.  At 100 TB the exact count(DISTINCT text)
+    is the expensive leg (every distinct value crosses the wire once);
+    the production profiler swaps it for the HLL++ plane above
+    (td_sketch_distinct) and keeps THIS query as the small-SF
+    accuracy oracle — numeric min/max are cast to string AFTER
+    aggregation, so ordering stays numeric in both engines."""
+    docs = load_table(spark, sf, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    row = docs.agg(*aggs)
+    stack = "stack({n}, {body}) AS (col_name, n_non_null, n_distinct, min_v, max_v)".format(
+        n=len(_PROFILE_COLS),
+        body=", ".join(
+            f"'{c}', nn_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+        ),
+    )
+    return row.select(F.expr(stack), "n_rows").select(
+        "col_name", "n_rows", "n_non_null", "n_distinct", "min_v", "max_v"
+    )

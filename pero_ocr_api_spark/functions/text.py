@@ -728,3 +728,59 @@ def q_zipf(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(c), ln(rank))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_intercept(ln(c), ln(rank))"), 6).alias("ln_c1"),
     )
+
+
+# ---- BPE pair-count step (tokenizer training core) ----
+BPE_TOP_K = 20
+
+
+@_reg(
+    "td_text_bpe_pairs",
+    f"""WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair
+  FROM words WHERE length(w) >= 2),
+counted AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+  FROM counted)
+SELECT rank, pair, n FROM ranked WHERE rank <= {BPE_TOP_K}""",
+)
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The inner step of BPE tokenizer training: corpus-wide counts of
+    adjacent symbol pairs within words, top-{BPE_TOP_K} by frequency —
+    the pair the trainer would merge next is rank 1.  Iterating
+    (count → merge best pair → recount) IS distributed BPE training;
+    one verified step pins the recurrence, same contract as
+    td_sim_kmeans_step.
+
+    Scale shape: pair extraction is a per-row higher-order function
+    (sequence → substr, zero shuffle, whole-stage codegen); the only
+    shuffle is the pair-count groupBy, whose key domain is bounded by
+    |alphabet|^2 (map-side partial aggregation collapses each partition
+    to at most that many rows before the exchange).  The rank window is
+    global but runs over that same bounded relation — a one-task sort
+    of <= a few thousand rows at any corpus size.  No driver-side
+    vocabulary state, unlike the classic single-node BPE trainer."""
+    docs = load_table(spark, sf, "documents")
+    words = docs.select(F.explode(tokens_col()).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )
+    )
+    counted = (
+        words.select(pair.alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counted.select(
+        "pair", "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), "pair")).alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= BPE_TOP_K).select("rank", "pair", "n")

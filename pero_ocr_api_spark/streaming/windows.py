@@ -191,3 +191,53 @@ def sessionize_stream(
     )
     query.awaitTermination()
     return query
+
+
+def sliding_rate_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "5 minutes",
+):
+    """Sliding-window per-state event rates — the live requests-per-
+    interval dashboard behind the reference's /page_statistics poll
+    (/root/reference/app/main/routes.py:376-384), but with overlapping
+    windows so the rate curve refreshes every ``slide`` instead of
+    once per ``window``.
+
+    Each event belongs to window/slide overlapping windows (Spark
+    expands it window/slide ways BEFORE the keyed shuffle — a bounded
+    constant fan-out, not data growth); state is one count per open
+    (window, state) pair, emitted exactly once in append mode when the
+    watermark passes the window end.  The batch twin is the identical
+    ``F.window(ts, window, slide)`` expression — pinned equal by
+    ``test_sliding_rate_equals_batch``."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "state")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "state",
+            "n",
+        )
+    )
+    query = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

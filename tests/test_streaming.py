@@ -699,3 +699,59 @@ def test_tws_processor_fold_logic():
     assert out2[0].loc[0, "last_ts"] == pd.Timestamp("2024-05-01 10:04")
     assert handle.cell.get()[0] == "PROCESSED"
     proc.close()
+
+
+def test_sliding_rate_equals_batch(spark, tmp_path_factory):
+    """Sliding (overlapping) windows: the streaming append-mode output
+    must equal the batch F.window(ts, w, s) aggregate over the same
+    events, restricted to windows the final watermark has closed —
+    and every event must appear in window/slide overlapping windows."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pero_ocr_api_spark.streaming.windows import sliding_rate_counts
+
+    base = tmp_path_factory.mktemp("slidestream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        ("e1", "PROCESSED", t(1), "a"),
+        ("e1", "PROCESSED", t(7), "b"),
+        ("e2", "FAILED", t(9, 30), "c"),
+        ("e1", "PROCESSED", t(12), "d"),
+    ]
+    sentinel = [("e9", "PROCESSED", t(59), "z")]  # closes all early windows
+    _write_events(spark, in_dir, rows)
+    _write_events(spark, in_dir, sentinel)
+
+    sliding_rate_counts(spark, in_dir, out_dir, ckpt,
+                        window="10 minutes", slide="5 minutes",
+                        watermark="5 minutes")
+
+    got = sorted(
+        (r.win_start.minute, r.win_end.minute, r.state, r.n)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+    batch = (
+        spark.createDataFrame(rows + sentinel, EVENTS_SCHEMA := (
+            "engine_id string, state string, ts timestamp, message string"))
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "state")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), "state", "n")
+        # final watermark = 10:59 - 5 min = 10:54 → only windows ending
+        # at or before it have been emitted by the stream
+        .filter(F.col("win_end") <= t(54))
+    )
+    exp = sorted(
+        (r.win_start.minute, r.win_end.minute, r.state, r.n)
+        for r in batch.collect()
+    )
+    assert got == exp and len(got) > 0
+    # each event lands in exactly window/slide = 2 windows: total mass
+    # across emitted windows = 2 * |closed events|
+    assert sum(n for *_k, n in got) == 2 * len(rows)
