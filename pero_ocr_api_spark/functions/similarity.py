@@ -824,3 +824,133 @@ FROM e LEFT JOIN dropped d ON d.vec_id = e.vec_id"""
 
 
 REGISTRY["td_dedup_semantic"] = (q_semantic_dedup, _semantic_dedup_sql())
+
+
+# ---- IVF-PQ search: cell-restricted ADC (the composed FAISS shape) ----
+
+
+def _ivfpq_sql() -> str:
+    def dot(x, y):
+        return " + ".join(
+            f"CAST({x}.embedding[{i}] AS DOUBLE) * CAST({y}.embedding[{i}] AS DOUBLE)"
+            for i in range(1, DIM + 1)
+        )
+
+    def sub_dist(a: str, b: str) -> str:
+        return (
+            f"""list_sum([(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+                      * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+                      for i in range(1, {PQ_SUB + 1})])"""
+        )
+
+    return f"""WITH cents AS (
+  SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+cellscore AS (
+  SELECT e.vec_id, c.c_id,
+         round(({dot('e', 'c')})
+               / (sqrt({dot('e', 'e')}) * sqrt({dot('c', 'c')})), 6) AS cs
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+    FROM cellscore) t WHERE rn = 1),
+ms AS (SELECT unnest(range({PQ_M})) AS m),
+c AS (SELECT vec_id AS cid, embedding AS cemb
+      FROM embeddings WHERE vec_id < {PQ_K}),
+e_sub AS (SELECT e.vec_id, ms.m,
+                 list_slice(e.embedding, ms.m*{PQ_SUB}+1, ms.m*{PQ_SUB}+{PQ_SUB}) AS sub
+          FROM embeddings e CROSS JOIN ms),
+c_sub AS (SELECT ms.m, c.cid,
+                 list_slice(c.cemb, ms.m*{PQ_SUB}+1, ms.m*{PQ_SUB}+{PQ_SUB}) AS csub
+          FROM c CROSS JOIN ms),
+pairs AS (SELECT vec_id, e_sub.m, cid,
+                 {sub_dist('sub', 'csub')} AS dist
+          FROM e_sub JOIN c_sub ON e_sub.m = c_sub.m),
+codes AS (SELECT p.vec_id, p.m, a.cell,
+                 min({{'d': p.dist, 'c': p.cid}}).c AS code
+          FROM pairs p JOIN assigned a ON a.vec_id = p.vec_id
+          GROUP BY p.vec_id, p.m, a.cell),
+q_sub AS (SELECT e_sub.vec_id AS q_id, a.cell, e_sub.m, e_sub.sub AS qsub
+          FROM e_sub JOIN assigned a ON a.vec_id = e_sub.vec_id
+          WHERE e_sub.vec_id < {N_QUERIES}),
+dtab AS (SELECT q_id, q_sub.cell, q_sub.m, cid,
+                {sub_dist('qsub', 'csub')} AS d
+         FROM q_sub JOIN c_sub ON q_sub.m = c_sub.m),
+scored AS (SELECT d.q_id, codes.vec_id AS n_id, round(sum(d.d), 6) AS adist
+           FROM codes JOIN dtab d
+             ON d.m = codes.m AND d.cid = codes.code AND d.cell = codes.cell
+           WHERE codes.vec_id <> d.q_id
+           GROUP BY d.q_id, codes.vec_id),
+ranked AS (SELECT q_id, n_id, adist,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist ASC, n_id ASC) AS rank
+           FROM scored)
+SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def q_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (nprobe=1): the composed FAISS index shape — each query's
+    ADC scan is restricted to ITS OWN IVF cell, over PQ codes only.
+    Combines td_sim_ivf_topk's cell pruning with td_sim_pq_search's
+    asymmetric distance; both components are independently oracled,
+    this pins their composition.
+
+    Scale shape: the corpus is touched as (vec_id, m, code, cell) rows
+    — 4-byte codes plus a cell label, laid out bucketed/partitioned BY
+    CELL at production scale, so a query batch probes only matching
+    cell partitions (partition pruning on the scan, no shuffle).  The
+    per-query distance table (queries x PQ_M x PQ_K, built off the
+    broadcast codebook) carries the query's cell and broadcasts into
+    the (cell, m, code) equi-join; candidate volume per query is
+    |cell|, not |corpus| — the two multiplicative reductions (cell
+    fraction x code compression) are exactly why IVF-PQ is the
+    standard billion-vector layout."""
+    emb = load_table(spark, sf, "embeddings")
+    cells = _assignments(spark, sf).select("vec_id", "cell")
+    codes, c_sub = _pq_codes(emb)
+    codes = codes.join(cells, "vec_id")
+    q_sub = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(cells, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "cell",
+            "embedding",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        )
+        .select(
+            "q_id", "cell", "m",
+            F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("qsub"),
+        )
+    )
+    diff2 = F.zip_with(
+        "qsub",
+        "csub",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    d = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    dtab = q_sub.join(F.broadcast(c_sub), "m").select(
+        "q_id", "cell", "m", "cid", d.alias("d")
+    )
+    scored = codes.alias("k").join(
+        F.broadcast(dtab).alias("t"),
+        (F.col("k.m") == F.col("t.m"))
+        & (F.col("k.code") == F.col("t.cid"))
+        & (F.col("k.cell") == F.col("t.cell")),
+    )
+    agg = (
+        scored.filter(F.col("k.vec_id") != F.col("t.q_id"))
+        .groupBy(F.col("t.q_id").alias("q_id"), F.col("k.vec_id").alias("n_id"))
+        .agg(F.round(F.sum("t.d"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "n_id", "adist")
+    )
+
+
+REGISTRY["td_sim_ivfpq_search"] = (q_ivfpq_search, _ivfpq_sql())

@@ -18,6 +18,7 @@ _EAGER = {"td_dedup_clusters", "td_dedup_canonical"}
 _BNLJ_OK = {
     "cp_admin_add_engine",   # 1-row max-id aggregates crossed into inserts
     "td_sim_ivf_topk",       # centroid seed rows crossed for assignment
+    "td_sim_ivfpq_search",   # same centroid cross (cell assignment)
     "td_dedup_semantic",     # same 8-centroid assignment cross (SemDeDup)
     "td_sim_bruteforce_topk",  # fixed 5-row query set vs corpus (baseline op)
     "td_sim_kmeans_step",    # 8 seed centroids crossed for assignment
