@@ -110,9 +110,10 @@ _DRIVER_WINDOW = [
     # 2023) and the one-pass exact table profiler — slots freed by
     # demoting cp_sql_tpch_q14_promo / q6_revenue (both r03-green).
     "td_curation_dsir", "td_profile_documents",
-    # round 4e: composed IVF-PQ search (cell-restricted ADC) — slot
-    # freed by demoting cp_sql_exists_late_ship (r03-green).
-    "td_sim_ivfpq_search",
+    # round 4e: composed IVF-PQ search (cell-restricted ADC) and the
+    # join-key skew profiler — slots freed by demoting
+    # cp_sql_exists_late_ship / cp_sql_tpch_q1_pricing (r03-green).
+    "td_sim_ivfpq_search", "td_profile_key_skew",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -130,7 +131,7 @@ _DRIVER_WINDOW = [
     "td_merge_upsert", "td_scd2_versions", "td_text_unigram_ce",
     "td_rolling_7d",
     "td_lang_rebalance",
-    "cp_sql_a5a6_cube", "cp_sql_tpch_q1_pricing",
+    "cp_sql_a5a6_cube",
 ]
 
 

@@ -167,3 +167,60 @@ def q_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
     return row.select(F.expr(stack), "n_rows").select(
         "col_name", "n_rows", "n_non_null", "n_distinct", "min_v", "max_v"
     )
+
+
+# ---- join-key skew profiler (heavy-hitter diagnostics) ----
+SKEW_TOP_K = 10
+
+
+@_reg(
+    "td_profile_key_skew",
+    f"""WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (
+  SELECT sum(n) AS total, count(*) AS n_keys,
+         round(sum(n) / CAST(count(*) AS DOUBLE), 6) AS avg_n
+  FROM per_key),
+ranked AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rank
+  FROM per_key)
+SELECT rank, user_id, n,
+       round(n / CAST(total AS DOUBLE), 6) AS share,
+       round(n / avg_n, 6) AS skew_factor
+FROM ranked CROSS JOIN tot WHERE rank <= {SKEW_TOP_K}""",
+)
+def q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter profile of the events join key: the top-{SKEW_TOP_K}
+    user_ids by row count, each with its corpus share and skew factor
+    (count / mean-count-per-key) — the diagnostic a planner (or an
+    engineer) reads before choosing salting / AQE skew-join handling
+    for a key.  A skew_factor in the hundreds on a top key is the
+    signal that a plain hash join on this key will straggle.
+
+    Scale shape: one map-side-combined groupBy on the key (the same
+    shuffle any join on the key would pay), a 1-row global stats
+    aggregate broadcast back onto the ≤{SKEW_TOP_K}-row ranked head,
+    and the rank itself is a TakeOrderedAndProject-style distributed
+    partial top-k over the per-key relation — the events rows are
+    scanned once and never re-shuffled."""
+    ev = load_table(spark, sf, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.round(F.sum("n") / F.count("*").cast("double"), 6).alias("avg_n"),
+    )
+    from pyspark.sql import Window
+
+    ranked = per_key.select(
+        "user_id", "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "user_id"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= SKEW_TOP_K)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank", "user_id", "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_factor"),
+    )

@@ -187,3 +187,39 @@ def claim_timeout_stream(
     )
     query.awaitTermination()
     return query
+
+
+def enriched_claim_stream(
+    spark: SparkSession,
+    claims_dir: str,
+    engines: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream-static enrichment: the claims feed joined to the static
+    engines dimension (the reference resolves every claim's engine row
+    the same way, routes.py:215-230 loading Engine by id before
+    answering the worker).  The static side is broadcast — per
+    micro-batch the join is map-side, STATELESS (nothing buffers in the
+    state store, unlike the stream-stream joins above), and the dim is
+    re-resolvable per batch so slowly-changing dims pick up updates at
+    micro-batch granularity.  At 10^9 events/day this is the canonical
+    enrich shape: the fact stream never shuffles for the join."""
+    claims = (
+        spark.readStream.schema(CLAIMS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(claims_dir)
+    )
+    out = claims.join(
+        F.broadcast(engines.select("engine_id", "engine_name")), "engine_id"
+    )
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -755,3 +755,44 @@ def test_sliding_rate_equals_batch(spark, tmp_path_factory):
     # each event lands in exactly window/slide = 2 windows: total mass
     # across emitted windows = 2 * |closed events|
     assert sum(n for *_k, n in got) == 2 * len(rows)
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path_factory):
+    """Stream-static broadcast join: streaming output equals the batch
+    join, inner-join semantics drop claims with no dim row, and the
+    stateless shape holds across micro-batches."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pero_ocr_api_spark.streaming.join_stream import (
+        CLAIMS_SCHEMA, enriched_claim_stream)
+
+    base = tmp_path_factory.mktemp("enrichstream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    rows1 = [("p1", 1, t(0)), ("p2", 2, t(1))]
+    rows2 = [("p3", 1, t(2)), ("p4", 99, t(3))]  # 99: no dim row -> dropped
+    for rows in (rows1, rows2):  # two files -> two micro-batches
+        spark.createDataFrame(rows, CLAIMS_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+
+    engines = spark.createDataFrame(
+        [(1, "ocr_fast"), (2, "ocr_accurate")],
+        "engine_id bigint, engine_name string",
+    )
+    enriched_claim_stream(spark, in_dir, engines, out_dir, ckpt)
+
+    got = sorted(
+        (r.page_id, r.engine_id, r.engine_name)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    exp = sorted(
+        (r.page_id, r.engine_id, r.engine_name)
+        for r in spark.createDataFrame(rows1 + rows2, CLAIMS_SCHEMA)
+        .join(F.broadcast(engines), "engine_id")
+        .collect()
+    )
+    assert got == exp and len(got) == 3  # p4 dropped (inner join)
