@@ -114,6 +114,10 @@ _DRIVER_WINDOW = [
     # join-key skew profiler — slots freed by demoting
     # cp_sql_exists_late_ship / cp_sql_tpch_q1_pricing (r03-green).
     "td_sim_ivfpq_search", "td_profile_key_skew",
+    # round 4f: event-type co-occurrence (market-basket support/
+    # confidence/lift) — slot freed by demoting cp_sql_a5a6_cube
+    # (r03-green).
+    "td_event_cooccurrence",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -131,7 +135,6 @@ _DRIVER_WINDOW = [
     "td_merge_upsert", "td_scd2_versions", "td_text_unigram_ce",
     "td_rolling_7d",
     "td_lang_rebalance",
-    "cp_sql_a5a6_cube",
 ]
 
 

@@ -134,6 +134,11 @@ def main() -> None:
         # late round-3 planes: chunking (map-only) + PQ ADC search
         "td_chunk": TEXT["td_chunk_documents"][0],
         "td_pq_search": SIM["td_sim_pq_search"][0],
+        # round-4 planes: incremental batch-vs-corpus dedup, composed
+        # IVF-PQ search, DSIR importance weights
+        "td_dedup_incr": DEDUP["td_dedup_incremental"][0],
+        "td_ivfpq": SIM["td_sim_ivfpq_search"][0],
+        "td_dsir": CUR["td_curation_dsir"][0],
     }
     for _ in range(reps):
         for name, fn in others.items():

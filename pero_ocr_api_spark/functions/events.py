@@ -512,3 +512,81 @@ def q_event_props_variant(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("k_sum"))
     )
+
+
+# ---- event-type co-occurrence (market-basket over user baskets) ----
+
+
+@_reg(
+    "td_event_cooccurrence",
+    """WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+user_n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type),
+singles AS (
+  SELECT event_type, count(*) AS n FROM baskets GROUP BY event_type)
+SELECT p.type_a, p.type_b, p.n_both,
+       round(p.n_both / CAST(u.n_users AS DOUBLE), 6) AS support,
+       round(p.n_both / CAST(sa.n AS DOUBLE), 6) AS confidence_a_b,
+       round((p.n_both * CAST(u.n_users AS DOUBLE)) / (sa.n * sb.n), 6)
+         AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN user_n u""",
+)
+def q_event_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association mining over user event baskets:
+    support, confidence and lift for every event-type pair that
+    co-occurs in at least one user's history — the co-engagement /
+    cross-sell query of a product-analytics plane (and the A-priori
+    first pass: pairs above a support floor seed longer itemsets).
+
+    Scale shape: the basket relation is DISTINCT (user, type) — one
+    combine-shuffled dedup, after which each user contributes at most
+    |types| rows, so the per-user self-join fans out to at most
+    |types|² rows per user (bounded constant, never corpus-quadratic;
+    the same per-key-bounded-build contract as td_funnel's per-user
+    MIN chains).  Pair counts collapse to ≤|types|² rows; the
+    singles/user_n enrichments are tiny broadcasts onto that bounded
+    relation.  Events are scanned once."""
+    ev = load_table(spark, sf, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    user_n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    a = baskets.select("user_id", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    singles = baskets.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(user_n))
+        .select(
+            "type_a", "type_b", "n_both",
+            F.round(F.col("n_both") / F.col("n_users").cast("double"), 6)
+            .alias("support"),
+            F.round(F.col("n_both") / F.col("n_a").cast("double"), 6)
+            .alias("confidence_a_b"),
+            F.round(
+                (F.col("n_both") * F.col("n_users").cast("double"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -24,6 +24,7 @@ _BNLJ_OK = {
     "td_sim_kmeans_step",    # 8 seed centroids crossed for assignment
     "td_curation_dsir",      # 1-row feature-total aggregate crossed in
     "td_profile_key_skew",   # 1-row global-stats aggregate crossed in
+    "td_event_cooccurrence", # 1-row n_users aggregate crossed in
     "td_text_idf",           # 1-row corpus-size aggregate crossed in
     "td_text_unigram_ce",    # 1-row corpus-size aggregate crossed in
     "td_lang_rebalance",     # 1-row waterfill-scale aggregate crossed in
