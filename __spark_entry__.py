@@ -118,6 +118,10 @@ _DRIVER_WINDOW = [
     # confidence/lift) — slot freed by demoting cp_sql_a5a6_cube
     # (r03-green).
     "td_event_cooccurrence",
+    # round 4g: tf-idf-weighted cosine near-dup (weighted counterpart
+    # of td_dedup_jaccard) — slot freed by demoting td_lang_rebalance
+    # (r03-green).
+    "td_dedup_tfidf_cosine",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -134,7 +138,6 @@ _DRIVER_WINDOW = [
     "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
     "td_merge_upsert", "td_scd2_versions", "td_text_unigram_ce",
     "td_rolling_7d",
-    "td_lang_rebalance",
 ]
 
 

@@ -11,7 +11,7 @@ which is engine-portable and needs no 64-bit hash parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import (
@@ -77,6 +77,27 @@ def shingles_df(spark: SparkSession, sf: str, k: int = SHINGLE_K) -> DataFrame:
         lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
     )
     return d.select("doc_id", F.explode(sh).alias("sh")).distinct()
+
+
+def shingle_tf_df(spark: SparkSession, sf: str, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh, tf): shingle term frequencies — the weighted
+    counterpart of shingles_df (which DISTINCTs), for tf-idf scoring."""
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
+    )
+    return (
+        d.select("doc_id", F.explode(sh).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count("*").alias("tf"))
+    )
 
 
 def _sql_shingles(k: int) -> str:
@@ -624,3 +645,126 @@ WHERE f.is_new"""
 
 
 REGISTRY["td_dedup_incremental"] = (q_incremental_dedup, _incremental_sql())
+
+
+# ------------------------- tf-idf cosine similarity (weighted near-dup)
+# The weighted counterpart of td_dedup_jaccard: same df-bounded shingle
+# blocking, but pairs are scored by idf-weighted cosine instead of set
+# overlap — boilerplate-heavy docs that share only COMMON shingles score
+# near zero even when their Jaccard is high.
+TFIDF_DF_MAX = 20
+TFIDF_TOP_K = 20
+
+
+def _tfidf_sql() -> str:
+    return f"""WITH {_SQL_SHINGLES.strip()},
+tfs AS (
+  SELECT doc_id, sh, count(*) AS tf FROM sh0 GROUP BY doc_id, sh),
+dfs AS (
+  SELECT sh, count(*) AS df FROM tfs GROUP BY sh
+  HAVING count(*) BETWEEN 2 AND {TFIDF_DF_MAX}),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tfs),
+w AS (
+  SELECT t.doc_id, t.sh,
+         t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS w
+  FROM tfs t JOIN dfs d ON d.sh = t.sh CROSS JOIN nd n),
+norms AS (
+  SELECT doc_id,
+         sqrt(sum(CAST(round(w * w * 1000000) AS BIGINT)) / 1000000.0)
+           AS nrm
+  FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared,
+         sum(CAST(round(a.w * b.w * 1000000) AS BIGINT)) AS dot_micro
+  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+scored AS (
+  SELECT d.doc_a, d.doc_b, d.n_shared,
+         round((d.dot_micro / 1000000.0) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b),
+ranked AS (
+  SELECT doc_a, doc_b, n_shared, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_a, doc_b) AS rank
+  FROM scored)
+SELECT rank, doc_a, doc_b, n_shared, cosine
+FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
+
+
+@_reg("td_dedup_tfidf_cosine", _tfidf_sql())
+def q_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} most-similar document pairs by tf-idf cosine
+    over df-bounded shingle features.  The vector space is shingles
+    with 2 <= df <= {TFIDF_DF_MAX}: df=1 shingles can never be shared
+    (dead weight), and df > {TFIDF_DF_MAX} shingles are boilerplate
+    whose idf is noise — the SAME blocking bound as td_dedup_jaccard,
+    so candidate fan-out per shingle stays <= df² <= {TFIDF_DF_MAX}².
+
+    Scale shape: tf and df are combine-shuffled aggregates on the
+    shingle key; the pair join's build side per key is df-bounded
+    (never a hot key); norms are per-doc aggregates joined back onto
+    the <=|candidates| pair relation; the global top-k is a rank over
+    the already-collapsed pair relation.  Float discipline: w*w and
+    wa*wb snap to the 1e-6 integer grid BEFORE summation (BIGINT,
+    order-independent); sqrt/divide run on identical doubles in both
+    engines."""
+    tfs = shingle_tf_df(spark, sf).localCheckpoint()
+    dfs = (
+        tfs.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_MAX))
+    )
+    nd = tfs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    w = (
+        tfs.join(dfs, "sh")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "sh",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w") * 1000000.0, 0).cast("long"))
+            / 1000000.0
+        ).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "sh", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "sh", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(
+                F.round(F.col("wa") * F.col("wb") * 1000000.0, 0).cast("long")
+            ).alias("dot_micro"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(
+                (F.col("dot_micro") / 1000000.0) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    ranked = scored.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "doc_a", "doc_b"))
+        .alias("rank"),
+        "doc_a", "doc_b", "n_shared", "cosine",
+    )
+    return ranked.filter(F.col("rank") <= TFIDF_TOP_K)
