@@ -122,6 +122,9 @@ _DRIVER_WINDOW = [
     # of td_dedup_jaccard) — slot freed by demoting td_lang_rebalance
     # (r03-green).
     "td_dedup_tfidf_cosine",
+    # round 4h: per-dimension embedding statistics (normalization /
+    # drift table) — slot freed by demoting td_rolling_7d (r03-green).
+    "td_emb_dim_stats",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -137,7 +140,6 @@ _DRIVER_WINDOW = [
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
     "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
     "td_merge_upsert", "td_scd2_versions", "td_text_unigram_ce",
-    "td_rolling_7d",
 ]
 
 

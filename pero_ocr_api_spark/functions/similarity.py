@@ -954,3 +954,49 @@ def q_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REGISTRY["td_sim_ivfpq_search"] = (q_ivfpq_search, _ivfpq_sql())
+
+
+# ---- per-dimension embedding statistics (normalization table) ----
+
+
+@_reg(
+    "td_emb_dim_stats",
+    f"""WITH dims AS (
+  SELECT e.vec_id, u.i AS dim, CAST(e.embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) u)
+SELECT dim,
+       count(*) AS n,
+       round(avg(v), 6) AS mean_v,
+       round(stddev_pop(v), 6) AS std_v,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM dims GROUP BY dim""",
+)
+def q_emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column — the
+    normalization / whitening table (mean, std, range per dim) an
+    embedding pipeline fits before standardizing, and the drift
+    monitor a production index re-checks per ingest batch.
+
+    Scale shape: posexplode is a per-row generator (no shuffle to
+    expand); the aggregate's key domain is exactly DIM={DIM} — map-side
+    partials collapse every partition to ≤{DIM} rows before the one
+    tiny exchange, so the stats cost one corpus scan regardless of
+    corpus size, and the output table is a broadcast-sized artifact
+    downstream standardization joins in.  mean/std use Spark's
+    mergeable moment aggregates (sum/sum-of-squares partials);
+    stddev_pop on identical doubles matches DuckDB bit-for-bit at the
+    6dp round."""
+    emb = load_table(spark, sf, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    return dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_pop("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
