@@ -142,3 +142,96 @@ FROM cp""",
 def q_scd2_versions(spark: SparkSession, sf: str) -> DataFrame:
     """SCD2 history of each user's event_type over the events table."""
     return scd2_versions(load_table(spark, sf, "events"))
+
+
+# ---- op-coded CDC MERGE (insert / update / DELETE) ----
+
+
+def merge_cdc_ops(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Full CDC apply: ``changes`` carries an ``op`` column
+    ('I' insert, 'U' update, 'D' delete).  Equivalent to
+    MERGE INTO t USING c ON t.key = c.key
+    WHEN MATCHED AND c.op = 'D' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT *.
+
+    Scale shape: still ONE left-anti join on the key plus a union —
+    deletes need no second pass because every changed key (deleted or
+    not) leaves the target via the same anti join, and only non-delete
+    change rows re-enter via the union.  Last-op-wins within the batch
+    is resolved BEFORE the join by a per-key window over the change
+    set (the small side), so the target scan is unaffected."""
+    w = Window.partitionBy(key).orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = target.join(latest.select(key), key, "left_anti")
+    applied = latest.filter(F.col("op") != "D").drop("op", "seq")
+    return applied.unionByName(survivors)
+
+
+# deterministic change set over `documents`: every 10th doc updates,
+# every 7th DELETES (op precedence: a doc hit by both is deleted iff
+# the delete has the higher seq — here deletes carry seq 2), and 5 new
+# docs insert.
+_CDC_SRC_SQL = """src AS (
+  SELECT doc_id, upper(text) AS text, lang, source,
+         CAST(length(upper(text)) AS BIGINT) AS n_chars,
+         'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 2 AS seq
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new doc ' || doc_id AS text,
+         'en' AS lang, 'ingest' AS source,
+         CAST(length('new doc ' || doc_id) AS BIGINT) AS n_chars,
+         'I' AS op, 1 AS seq
+  FROM documents WHERE doc_id < 5),
+latest AS (
+  SELECT doc_id, text, lang, source, n_chars, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM src) t WHERE rn = 1)"""
+
+
+@_reg(
+    "td_merge_cdc_delete",
+    f"""WITH {_CDC_SRC_SQL}
+SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op <> 'D'
+UNION ALL
+SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars
+FROM documents t
+WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.doc_id = t.doc_id)""",
+)
+def q_merge_cdc_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry probe of :func:`merge_cdc_ops`: updates (every 10th
+    doc), DELETES (every 7th doc, winning on seq where both hit), and
+    5 inserts — the oracle is the literal op-coded MERGE expansion."""
+    target = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    updates = target.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang", "source",
+        F.length(F.upper("text")).cast("long").alias("n_chars"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    deletes = target.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    inserts = target.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("ingest").alias("source"),
+        F.length(
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))
+        ).cast("long").alias("n_chars"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_cdc_ops(target, changes, "doc_id")
