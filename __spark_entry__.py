@@ -128,6 +128,9 @@ _DRIVER_WINDOW = [
     # round 4i: op-coded CDC MERGE with deletes — slot freed by
     # demoting td_text_unigram_ce (r03-green).
     "td_merge_cdc_delete",
+    # round 4j: Gumbel-top-k weighted sampling (DSIR's selection step)
+    # — slot freed by demoting td_scd2_versions (r03-green).
+    "td_curation_gumbel_sample",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -142,7 +145,7 @@ _DRIVER_WINDOW = [
     "td_zorder_key",
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
     "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
-    "td_merge_upsert", "td_scd2_versions",
+    "td_merge_upsert",
 ]
 
 

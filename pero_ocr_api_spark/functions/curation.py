@@ -23,7 +23,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import SUBSTR_W
@@ -459,4 +459,85 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.round(F.sum("micro") / 1000000.0, 6).alias("log_weight"),
         )
+    )
+
+
+# ---- Gumbel-top-k weighted sampling (importance-resampling executor) ----
+# DSIR (td_curation_dsir) produces per-doc log importance weights; the
+# SELECTION step of importance resampling draws docs WITHOUT
+# replacement with P(doc) ∝ exp(log_weight).  The Gumbel-top-k trick
+# makes that a deterministic distributed primitive: key = log_weight +
+# Gumbel(noise), take the global top-k — equivalent in distribution to
+# sequential weighted draws, but embarrassingly parallel and exactly
+# reproducible when the noise is hashed from the doc id.
+GUMBEL_N = 100
+GUMBEL_SALT = "gumbel:"
+
+
+def _uniform01_col(idc: Column) -> Column:
+    """Deterministic 24-bit uniform in (0,1) from three md5 hex bytes
+    of the salted id — portable to any engine with md5."""
+    s = F.concat(F.lit(GUMBEL_SALT), idc.cast("string"))
+    b = (
+        md5_byte_col(s, 1) * 65536
+        + md5_byte_col(s, 3) * 256
+        + md5_byte_col(s, 5)
+    )
+    return (b + 0.5) / 16777216.0
+
+
+def gumbel_topk(
+    df: DataFrame, log_weight: Column, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``n`` rows by ``log_weight + Gumbel(hash(id))`` — weighted
+    sampling without replacement, P ∝ exp(log_weight), reproducible
+    across engines / runs / cluster sizes.  Returns (id, gumbel_key,
+    sample_rank).
+
+    Scale shape: the key is a per-row expression (two md5 calls and a
+    double log chain, codegen); the global top-n is a distributed
+    partial top-k (TakeOrderedAndProject — every partition forwards at
+    most n rows), never a full sort."""
+    u = _uniform01_col(F.col(id_col))
+    key = F.round(log_weight + (-F.log(-F.log(u))), 6)
+    ranked = df.select(
+        F.col(id_col), key.alias("gumbel_key")
+    ).select(
+        id_col, "gumbel_key",
+        F.row_number()
+        .over(Window.orderBy(F.desc("gumbel_key"), id_col))
+        .alias("sample_rank"),
+    )
+    return ranked.filter(F.col("sample_rank") <= n)
+
+
+def _gumbel_sql() -> str:
+    def byte(pos: int) -> str:
+        return md5_byte_sql(
+            f"'{GUMBEL_SALT}' || CAST(doc_id AS VARCHAR)", pos
+        )
+
+    return f"""WITH keyed AS (
+  SELECT doc_id,
+         round(ln(CAST(n_chars AS DOUBLE))
+               + (-ln(-ln((({byte(1)}) * 65536 + ({byte(3)}) * 256
+                           + ({byte(5)}) + 0.5) / 16777216.0))), 6)
+           AS gumbel_key
+  FROM documents)
+SELECT doc_id, gumbel_key, sample_rank FROM (
+  SELECT doc_id, gumbel_key,
+         row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+           AS sample_rank
+  FROM keyed) t
+WHERE sample_rank <= {GUMBEL_N}"""
+
+
+@_reg("td_curation_gumbel_sample", _gumbel_sql())
+def q_gumbel_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry probe of :func:`gumbel_topk` with P(doc) ∝ n_chars
+    (log_weight = ln(n_chars)); in the DSIR pipeline the same call
+    takes td_curation_dsir's log_weight column instead."""
+    docs = load_table(spark, sf, "documents")
+    return gumbel_topk(
+        docs, F.log(F.col("n_chars").cast("double")), GUMBEL_N
     )
