@@ -576,3 +576,56 @@ def test_bpe_merge_plan_is_codegen(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_merge_cdc_ops_semantics(spark):
+    """Delete wins over update when its seq is higher; update wins when
+    ITS seq is higher; inserts land; untouched targets survive; a
+    re-apply of the same batch is idempotent."""
+    from pyspark.sql import functions as F
+
+    from pero_ocr_api_spark.functions.cdc import merge_cdc_ops
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, "x", "D", 2),   # delete wins (seq 2)
+            (2, "b0", "D", 1), (2, "b2", "U", 2),  # update wins (seq 2)
+            (9, "i", "I", 1),                       # insert
+        ],
+        "id long, v string, op string, seq int",
+    )
+    out = merge_cdc_ops(target, changes, "id")
+    got = sorted((r.id, r.v) for r in out.collect())
+    assert got == [(2, "b2"), (3, "c"), (9, "i")]
+
+    again = merge_cdc_ops(out, changes, "id")
+    assert sorted((r.id, r.v) for r in again.collect()) == got
+
+
+def test_gumbel_topk_is_weight_biased_and_deterministic(spark):
+    """Heavier log-weights must dominate the sample, and the draw must
+    be identical across invocations (hashed noise, no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from pero_ocr_api_spark.functions.curation import gumbel_topk
+
+    # 500 light docs (weight 1) + 500 heavy docs (weight e^4 ≈ 55x)
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 500, 4.0).otherwise(0.0).alias("lw"),
+    )
+    s1 = gumbel_topk(df, F.col("lw"), 100)
+    rows = s1.collect()
+    heavy = sum(1 for r in rows if r.doc_id >= 500)
+    # E[heavy] ≈ 98 under P ∝ e^lw; even with hash noise it must crush
+    # the uniform expectation of 50
+    assert heavy >= 85, heavy
+    assert len(rows) == 100
+    # determinism
+    s2 = gumbel_topk(df, F.col("lw"), 100)
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in s2.collect()
+    )
