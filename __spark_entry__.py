@@ -131,6 +131,9 @@ _DRIVER_WINDOW = [
     # round 4j: Gumbel-top-k weighted sampling (DSIR's selection step)
     # — slot freed by demoting td_scd2_versions (r03-green).
     "td_curation_gumbel_sample",
+    # round 4k: cross-source duplication matrix (provenance) — slot
+    # freed by demoting td_merge_upsert (r03-green).
+    "td_dedup_source_matrix",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -145,7 +148,6 @@ _DRIVER_WINDOW = [
     "td_zorder_key",
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
     "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
-    "td_merge_upsert",
 ]
 
 

@@ -768,3 +768,56 @@ def q_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
         "doc_a", "doc_b", "n_shared", "cosine",
     )
     return ranked.filter(F.col("rank") <= TFIDF_TOP_K)
+
+
+# --------------------- cross-source duplication matrix (provenance)
+@_reg(
+    "td_dedup_source_matrix",
+    f"""WITH pairs AS ({{minhash}}),
+lab AS (
+  SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b)
+SELECT least(src_a, src_b) AS source_x,
+       greatest(src_a, src_b) AS source_y,
+       count(*) AS n_pairs
+FROM lab GROUP BY least(src_a, src_b), greatest(src_a, src_b)""".format(
+        minhash=_minhash_sql()
+    ),
+)
+def q_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Provenance diagnostic: verified near-dup pairs (the MinHash+LSH
+    plane's output) cross-tabulated by unordered source pair — which
+    sources duplicate each other, the first question a crawl-curation
+    team asks before down-weighting a feed.
+
+    Scale shape: the pair relation is already candidate-bounded by the
+    LSH plane; source labels join in from the documents dim (two key
+    joins against a table read with 2 columns), and the matrix
+    aggregate collapses to <= |sources|² rows — every step after
+    candidate generation is corpus-sublinear."""
+    pairs = minhash_pairs(spark, sf, threshold=0.5)
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_pairs"))
+    )
