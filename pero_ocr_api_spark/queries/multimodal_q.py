@@ -42,11 +42,26 @@ REGISTRY, _reg = make_registry()
 
 
 def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct media refs, REPARTITIONED to cluster width after the
+    dedup: the distinct's shuffle output is a few MB of ref strings, so
+    AQE coalesces it toward one partition — and the downstream
+    mapInPandas stages then decode EVERY image on one Python worker
+    (measured: td_mm_features 15+ min single-core at sf0.1 vs seconds
+    wide).  Same rows-expand-after-redistribute rule as shingles_df and
+    the extraction salt: repartition BEFORE the per-row work explodes,
+    because AQE sizes partitions by bytes-at-shuffle, not by downstream
+    cost.  The repartition must be ROUND-ROBIN (no column): a hash
+    repartition on media_ref matches the distinct's existing
+    partitioning, so Catalyst removes it as redundant and the surviving
+    ENSURE_REQUIREMENTS exchange stays AQE-coalescible — exactly the
+    single-worker plan again.  Round-robin is a distinct partitioning
+    with REPARTITION_BY_NUM origin, which AQE never coalesces."""
     return (
         exploded_spans(spark, sf_dir)
         .filter(F.col("kind") == "media")
         .select("media_ref")
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
