@@ -629,3 +629,18 @@ def test_gumbel_topk_is_weight_biased_and_deterministic(spark):
     assert sorted(r.doc_id for r in rows) == sorted(
         r.doc_id for r in s2.collect()
     )
+
+
+def test_media_refs_stage_is_wide(spark, sf_smoke):
+    """Regression for the AQE-coalesce-then-explode trap: the media-ref
+    relation feeding the heavy mapInPandas stages must carry cluster
+    width, not the 1-partition plan AQE coalesces a tiny distinct to.
+    Round-robin repartition (REPARTITION_BY_NUM) is the non-coalescible
+    form; a hash repartition on the key gets ELIMINATED as redundant
+    against the distinct's partitioning (this assert catches both the
+    removal and a future AQE-origin regression)."""
+    from pero_ocr_api_spark.queries.multimodal_q import _media_refs
+
+    refs = _media_refs(spark, sf_smoke)
+    n = refs.rdd.getNumPartitions()
+    assert n == spark.sparkContext.defaultParallelism, n
