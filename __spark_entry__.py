@@ -134,6 +134,10 @@ _DRIVER_WINDOW = [
     # round 4k: cross-source duplication matrix (provenance) — slot
     # freed by demoting td_merge_upsert (r03-green).
     "td_dedup_source_matrix",
+    # round 4l: td_mm_features kernel rewritten (bincount moments) and
+    # the whole mm plane re-widened (AQE coalesce fix) — re-record it;
+    # slot freed by demoting cp_sql_grouping_sets (r03-green).
+    "td_mm_features",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -147,7 +151,7 @@ _DRIVER_WINDOW = [
     "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
     "td_zorder_key",
     "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
-    "cp_sql_tpch_q8_mkt_share", "cp_sql_grouping_sets",
+    "cp_sql_tpch_q8_mkt_share",
 ]
 
 
