@@ -138,6 +138,9 @@ _DRIVER_WINDOW = [
     # the whole mm plane re-widened (AQE coalesce fix) — re-record it;
     # slot freed by demoting cp_sql_grouping_sets (r03-green).
     "td_mm_features",
+    # round 4m: robust median/MAD outlier ranking — slot freed by
+    # demoting cp_sql_tpch_q13_custdist (prior-green).
+    "td_event_robust_outliers",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -150,7 +153,7 @@ _DRIVER_WINDOW = [
     "td_sim_bruteforce_topk",
     "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
     "td_zorder_key",
-    "cp_sql_tpch_q13_custdist", "cp_sql_tpch_q19_disjunct",
+    "cp_sql_tpch_q19_disjunct",
     "cp_sql_tpch_q8_mkt_share",
 ]
 

@@ -590,3 +590,82 @@ def q_event_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---- robust outlier ranking (median/MAD z-scores per event type) ----
+OUTLIER_TOP_K = 5
+
+
+@_reg(
+    "td_event_robust_outliers",
+    f"""WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS ad,
+         m.med
+  FROM events e JOIN med m ON m.event_type = e.event_type),
+mad AS (
+  SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type),
+scored AS (
+  SELECT d.event_id, d.event_type, d.value,
+         round(abs(d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+  FROM dev d JOIN mad m ON m.event_type = d.event_type
+  WHERE m.mad > 0),
+ranked AS (
+  SELECT event_type, event_id, value, robust_z,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY robust_z DESC, event_id) AS rank
+  FROM scored)
+SELECT event_type, rank, event_id, round(value, 6) AS value, robust_z
+FROM ranked WHERE rank <= {OUTLIER_TOP_K}""",
+)
+def q_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD outlier detection per event type: the top-{OUTLIER_TOP_K}
+    most extreme events by robust z-score |v - median| / (1.4826·MAD).
+    Unlike mean/std z-scores, the estimator itself is immune to the
+    outliers it hunts — the standard data-quality screen for metric
+    streams.
+
+    Scale shape: two grouped EXACT medians over the |types|-bounded key
+    (Spark's percentile is a mergeable typed aggregate; at 100 TB the
+    documented swap is percentile_approx, the same GK-sketch trade
+    recorded for td_length_deciles), each broadcast back onto the
+    events relation; scoring is per-row codegen and the final rank is
+    a per-type top-k window over a relation the score filter keeps
+    full-size — the one full shuffle is the rank's partitionBy, on the
+    same low-cardinality key a salted two-phase top-k would use if
+    |types| were ever hot."""
+    ev = load_table(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    scored = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_id", "event_type", "value",
+            F.round(
+                F.abs(F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("robust_z"), "event_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OUTLIER_TOP_K)
+        .select(
+            "event_type", "rank", "event_id",
+            F.round("value", 6).alias("value"), "robust_z",
+        )
+    )

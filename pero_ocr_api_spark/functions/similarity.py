@@ -1000,3 +1000,26 @@ def q_emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("v"), 6).alias("max_v"),
     )
 
+
+
+def standardize_embeddings(
+    emb: DataFrame, stats: DataFrame, min_std: float = 1e-9
+) -> DataFrame:
+    """Whiten vectors with a fitted per-dimension stats table (the
+    output of td_emb_dim_stats): z[i] = (x[i] - mean[i]) / std[i].
+
+    The stats table is a DIM-row ARTIFACT (like k-means centroids or
+    BPE merges), so it collects to the driver once and is inlined as
+    literal arrays into a single transform() expression — the corpus
+    is rewritten in one codegen projection: no join, no shuffle, no
+    Python.  Constant dims (std < min_std) pass through as 0."""
+    rows = {r["dim"]: (r["mean_v"], r["std_v"]) for r in stats.collect()}
+    dim = max(rows)
+    means = F.array(*[F.lit(float(rows[i + 1][0])) for i in range(dim)])
+    stds = F.array(*[F.lit(float(rows[i + 1][1])) for i in range(dim)])
+    z = F.zip_with(
+        F.zip_with("embedding", means, lambda x, m: x.cast("double") - m),
+        stds,
+        lambda d, s: F.when(s >= min_std, d / s).otherwise(F.lit(0.0)),
+    )
+    return emb.withColumn("z_embedding", z)

@@ -644,3 +644,31 @@ def test_media_refs_stage_is_wide(spark, sf_smoke):
     refs = _media_refs(spark, sf_smoke)
     n = refs.rdd.getNumPartitions()
     assert n == spark.sparkContext.defaultParallelism, n
+
+
+def test_standardize_embeddings_matches_numpy(spark, sf_smoke):
+    """Whitening with the fitted dim-stats table must match numpy's
+    (x - mean) / std per dimension, and the plan must stay a single
+    codegen projection (no join/exchange/Python)."""
+    import numpy as np
+
+    from pero_ocr_api_spark.functions.similarity import standardize_embeddings
+    from pero_ocr_api_spark.session import load_table
+    import __spark_entry__ as entry_mod
+
+    stats = entry_mod.queries()["td_emb_dim_stats"](spark, sf_smoke)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = standardize_embeddings(emb, stats)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    rows = out.orderBy("vec_id").limit(50).collect()
+    X = np.array([r["embedding"] for r in emb.orderBy("vec_id").limit(50).collect()],
+                 dtype=np.float64)
+    full = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    mean, std = full.mean(axis=0), full.std(axis=0)
+    exp = (X - mean) / std
+    got = np.array([r["z_embedding"] for r in rows])
+    # stats table is rounded to 6dp, so allow that quantization
+    assert np.allclose(got, exp, atol=5e-4), np.abs(got - exp).max()
