@@ -141,6 +141,9 @@ _DRIVER_WINDOW = [
     # round 4m: robust median/MAD outlier ranking — slot freed by
     # demoting cp_sql_tpch_q13_custdist (prior-green).
     "td_event_robust_outliers",
+    # round 4n: per-doc novelty (df=1 shingle fraction) — slot freed by
+    # demoting cp_sql_tpch_q19_disjunct (prior-green).
+    "td_text_novelty",
     # round-3-green entries below are all UNCHANGED since their last
     # driver row; they fill the remaining recorded slots (cheap
     # re-confirmation) and are progressively displaced by new round-4
@@ -153,7 +156,6 @@ _DRIVER_WINDOW = [
     "td_sim_bruteforce_topk",
     "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
     "td_zorder_key",
-    "cp_sql_tpch_q19_disjunct",
     "cp_sql_tpch_q8_mkt_share",
 ]
 

@@ -784,3 +784,51 @@ def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("n"), "pair")).alias("rank"),
     )
     return ranked.filter(F.col("rank") <= BPE_TOP_K).select("rank", "pair", "n")
+
+
+# ---- novelty score (unique-content fraction) ----
+
+
+def _novelty_sql() -> str:
+    from .dedup import _SQL_SHINGLES
+
+    return f"""WITH {_SQL_SHINGLES.strip()},
+dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+       round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh s JOIN dfs d ON d.sh = s.sh
+GROUP BY s.doc_id"""
+
+
+@_reg("td_text_novelty", _novelty_sql())
+def q_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novelty: the fraction of its shingles that appear
+    in NO other document (df = 1) — the inverse of the duplication
+    planes' signal.  Low novelty = templated/copied content; a
+    training-mix report reads this next to the dedup verdicts to
+    decide whether to drop or downweight.
+
+    Scale shape: one df aggregate on the shingle key (combine-
+    shuffled) joined back onto the shingle table on the same
+    high-cardinality key, then a per-doc aggregate — the same two
+    shuffles as td_decontaminate, nothing pairwise anywhere."""
+    from .dedup import shingles_df
+
+    sh = shingles_df(spark, sf)
+    dfs = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
