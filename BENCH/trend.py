@@ -123,8 +123,14 @@ def main() -> int:
             if cur and priors:
                 ratios.append(cur / min(priors))
         if ratios:
-            med = statistics.median(ratios)
-            if med > DEFLATE_TRIGGER:
+            # exclude the single worst outlier so one genuine regression
+            # on a small fleet can't drag the median into triggering
+            # deflation (which would then hide that same regression)
+            basis = sorted(ratios)[:-1] if len(ratios) >= 4 else ratios
+            med = statistics.median(basis)
+            # symmetric: a fleet-wide SPEEDUP also deflates, so a query
+            # that merely failed to speed up with the fleet still flags
+            if med > DEFLATE_TRIGGER or med < 1.0 / DEFLATE_TRIGGER:
                 deflate = med
 
     header = "| query | " + " | ".join(f"r{n:02d} (s)" for n, _ in rounds)

@@ -62,101 +62,46 @@ _EXTRACTION_QUERIES = {
 # Union(r01∪r02∪r03 green, round-4 window) covers every oracle pair, and
 # tests/test_oracle_parity.py re-proves ALL pairs locally every run.
 _DRIVER_WINDOW = [
-    # flagship extraction plane (kept in the window every round)
+    # flagship extraction plane (kept in the window every round; the
+    # round-5 GPU-micro-batching change to the inference stage touches
+    # all three)
     "extract_pipeline_spans", "extract_doc_results", "extract_regions",
-    # changed in round 4 (VERDICT r3 items): scalar per-quantile sketch
-    # rows (r03's one red row), minhash band-cap labeling rewritten to a
-    # broadcast over-full-key blacklist, ANN top-k gains its full DuckDB
-    # oracle (was the registry's last recall-only entry), decode routed
-    # through the call-time codec seam
-    "td_sketch_quantiles", "td_dedup_minhash_lsh", "td_sim_ann_lsh_topk",
-    "td_mm_decode",
-    # new in round 4: the remaining TPC-H shapes expressible over the
-    # testdata schema (q3/q12/q17/q18/q21/q22) — slots freed by
-    # demoting six r03-green unchanged events-plane entries
-    # (td_asof_attribution, td_sessionize, td_range_join, td_ts_rollup,
-    # td_funnel, td_retention_cohorts).
-    "cp_sql_tpch_q3_shipping", "cp_sql_tpch_q12_late_mix",
-    "cp_sql_tpch_q17_small_qty", "cp_sql_tpch_q18_big_orders",
-    "cp_sql_tpch_q21_late_supplier", "cp_sql_tpch_q22_idle_funded",
-    # new in round 4: BM25 top-k lexical retrieval (sparse counterpart
-    # of the ANN plane), Zipf-exponent corpus-health fit (regr_*
-    # aggregates), event-transition Markov matrix (slots freed by
-    # demoting r03-green td_decontaminate / td_stratified_sample /
-    # td_pii_redact, unchanged since).
+    # changed in round 5 (VERDICT r4 item 1 + ADVICE): the two r04
+    # driver-reds were cell-exact but dtype-hash-mismatched — both
+    # integer sum(CASE...) aggregates now CAST ... AS BIGINT in the
+    # shared/oracle SQL (q17 precedent)
+    "cp_sql_tpch_q12_late_mix", "td_text_novelty",
+    # changed in round 5 (ADVICE): seq-tie now resolves by op (both
+    # engines), k_bucket uses floor division (both engines), decode
+    # routes by payload magic bytes (fake path bit-identical here)
+    "td_merge_cdc_delete", "td_event_props_variant", "td_mm_decode",
+    # serializer / histogram twins consume the pipeline output the
+    # micro-batching change reorganizes — re-record them as insurance
+    "extract_serialize_txt", "extract_serialize_alto",
+    "extract_serialize_page", "extract_conf_histogram",
+    # re-confirmation fill: r04-green entries, unchanged since (the two
+    # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
+    # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
+    # spending hash-verifiable window slots)
+    "td_dedup_minhash_lsh", "td_sim_ann_lsh_topk",
+    "cp_sql_tpch_q3_shipping", "cp_sql_tpch_q17_small_qty",
+    "cp_sql_tpch_q18_big_orders", "cp_sql_tpch_q21_late_supplier",
+    "cp_sql_tpch_q22_idle_funded",
     "td_text_bm25", "td_text_zipf", "td_event_markov",
-    # new in round 4: VariantType semi-structured aggregation (slot
-    # freed by demoting r03-green td_length_winsorize).
-    "td_event_props_variant",
-    # new in round 4b: the five TPC-H shapes that need partsupp —
-    # derived in-SQL from deterministic key arithmetic (q2 correlated
-    # MIN, q9 profit multi-join, q11 scalar-fraction HAVING, q16
-    # NOT IN anti, q20 nested IN + correlated 0.5*sum).  Slots freed
-    # by demoting five r03-green unchanged entries (cp_sm_claim,
-    # cp_cfg_engine_knobs, td_dedup_substring, cp_sm_claim_auth,
-    # cp_admin_add_key).
     "cp_sql_tpch_q2_min_cost", "cp_sql_tpch_q9_profit",
     "cp_sql_tpch_q11_stock", "cp_sql_tpch_q16_supp_count",
     "cp_sql_tpch_q20_excess_stock",
-    # new in round 4c: SemDeDup (k-means-cell-blocked embedding dedup),
-    # incremental batch-vs-corpus MinHash dedup (the 100 TB ingest
-    # shape: new docs probe the corpus band index, never corpus×corpus),
-    # and the BPE pair-count tokenizer-training step.  Slots freed by
-    # demoting three r02/r03-green unchanged SQL-twin entries
-    # (cp_sql_tpch_q10_returns, cp_sql_tpch_q7_volume,
-    # cp_sql_tpch_q15_top_supplier).
     "td_dedup_semantic", "td_dedup_incremental", "td_text_bpe_pairs",
-    # round 4d: DSIR hashed-unigram importance weights (Xie et al.
-    # 2023) and the one-pass exact table profiler — slots freed by
-    # demoting cp_sql_tpch_q14_promo / q6_revenue (both r03-green).
     "td_curation_dsir", "td_profile_documents",
-    # round 4e: composed IVF-PQ search (cell-restricted ADC) and the
-    # join-key skew profiler — slots freed by demoting
-    # cp_sql_exists_late_ship / cp_sql_tpch_q1_pricing (r03-green).
     "td_sim_ivfpq_search", "td_profile_key_skew",
-    # round 4f: event-type co-occurrence (market-basket support/
-    # confidence/lift) — slot freed by demoting cp_sql_a5a6_cube
-    # (r03-green).
-    "td_event_cooccurrence",
-    # round 4g: tf-idf-weighted cosine near-dup (weighted counterpart
-    # of td_dedup_jaccard) — slot freed by demoting td_lang_rebalance
-    # (r03-green).
-    "td_dedup_tfidf_cosine",
-    # round 4h: per-dimension embedding statistics (normalization /
-    # drift table) — slot freed by demoting td_rolling_7d (r03-green).
-    "td_emb_dim_stats",
-    # round 4i: op-coded CDC MERGE with deletes — slot freed by
-    # demoting td_text_unigram_ce (r03-green).
-    "td_merge_cdc_delete",
-    # round 4j: Gumbel-top-k weighted sampling (DSIR's selection step)
-    # — slot freed by demoting td_scd2_versions (r03-green).
-    "td_curation_gumbel_sample",
-    # round 4k: cross-source duplication matrix (provenance) — slot
-    # freed by demoting td_merge_upsert (r03-green).
-    "td_dedup_source_matrix",
-    # round 4l: td_mm_features kernel rewritten (bincount moments) and
-    # the whole mm plane re-widened (AQE coalesce fix) — re-record it;
-    # slot freed by demoting cp_sql_grouping_sets (r03-green).
-    "td_mm_features",
-    # round 4m: robust median/MAD outlier ranking — slot freed by
-    # demoting cp_sql_tpch_q13_custdist (prior-green).
+    "td_event_cooccurrence", "td_dedup_tfidf_cosine",
+    "td_emb_dim_stats", "td_curation_gumbel_sample",
+    "td_dedup_source_matrix", "td_mm_features",
     "td_event_robust_outliers",
-    # round 4n: per-doc novelty (df=1 shingle fraction) — slot freed by
-    # demoting cp_sql_tpch_q19_disjunct (prior-green).
-    "td_text_novelty",
-    # round-3-green entries below are all UNCHANGED since their last
-    # driver row; they fill the remaining recorded slots (cheap
-    # re-confirmation) and are progressively displaced by new round-4
-    # queries appended above this line.
-    "td_sketch_distinct",
-    "td_sim_pq_encode",
-    "td_mc_extract", "td_dedup_clusters",
-    "td_dedup_canonical",
-    "td_pack_sequences",
-    "td_sim_bruteforce_topk",
-    "td_chunk_documents", "td_sim_pq_search", "td_length_deciles",
-    "td_zorder_key",
-    "cp_sql_tpch_q8_mkt_share",
+    "td_sim_pq_encode", "td_mc_extract", "td_dedup_clusters",
+    "td_dedup_canonical", "td_pack_sequences",
+    "td_sim_bruteforce_topk", "td_chunk_documents", "td_sim_pq_search",
+    "td_length_deciles",
 ]
 
 

@@ -43,7 +43,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("Int64")
         elif s.dtype == object:
-            df[c] = s.where(~s.isna(), None)
+            # Spark DateType comes back as object-dtype datetime.date
+            # while DuckDB DATE is datetime64 — the driver hash treats
+            # them alike (td_retention_cohorts was driver-green), so
+            # canonicalize dates to datetime64 before the dtype-kind
+            # strictness check below.
+            import datetime as _dt
+
+            nonnull = s.dropna()
+            if len(nonnull) and all(
+                isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                for v in nonnull
+            ):
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                df[c] = s.where(~s.isna(), None)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
         drop=True
     )
@@ -61,6 +75,30 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         )
         return problems
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    # The driver's value-hash is dtype-sensitive: a Spark BIGINT 339 vs
+    # a DuckDB float64 339.0 hash-mismatches even though == passes.
+    # Replicate that strictness here so the local gate catches the same
+    # class of bug (r04's two reds were exactly this).
+    def _kind(s: pd.Series) -> str:
+        if pd.api.types.is_bool_dtype(s):
+            return "bool"
+        if pd.api.types.is_integer_dtype(s):
+            return "int"
+        if pd.api.types.is_float_dtype(s):
+            return "float"
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return "ts"
+        return "obj"
+
+    for c in a.columns:
+        ka, kb = _kind(a[c]), _kind(b[c])
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={ka} oracle={kb} "
+                f"(driver value-hash would differ)"
+            )
+    if problems:
+        return problems
     if len(a) != len(b):
         return problems
     for c in a.columns:

@@ -160,8 +160,11 @@ def merge_cdc_ops(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     not) leaves the target via the same anti join, and only non-delete
     change rows re-enter via the union.  Last-op-wins within the batch
     is resolved BEFORE the join by a per-key window over the change
-    set (the small side), so the target scan is unaffected."""
-    w = Window.partitionBy(key).orderBy(F.desc("seq"))
+    set (the small side), so the target scan is unaffected.  Ties on
+    seq resolve deterministically by op ('D' < 'I' < 'U' ascending, so
+    a delete wins a same-seq tie — the conservative choice) instead of
+    leaving the winner to partition order."""
+    w = Window.partitionBy(key).orderBy(F.desc("seq"), F.asc("op"))
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -192,7 +195,7 @@ _CDC_SRC_SQL = """src AS (
   FROM documents WHERE doc_id < 5),
 latest AS (
   SELECT doc_id, text, lang, source, n_chars, op FROM (
-    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC, op ASC) AS rn
     FROM src) t WHERE rn = 1)"""
 
 

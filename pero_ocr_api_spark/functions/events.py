@@ -508,7 +508,9 @@ def q_event_props_variant(spark: SparkSession, sf: str) -> DataFrame:
         ev.select("event_type", k.alias("k"))
         .groupBy(
             "event_type",
-            (F.col("k") / F.lit(10)).cast("int").alias("k_bucket"),
+            # floor-division to match DuckDB's `// 10` for negative k
+            # ((k/10).cast('int') truncates toward zero: -5 → 0 vs -1)
+            F.floor(F.col("k") / F.lit(10)).cast("int").alias("k_bucket"),
         )
         .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("k_sum"))
     )

@@ -796,7 +796,7 @@ def _novelty_sql() -> str:
 dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
 SELECT s.doc_id,
        count(*) AS n_shingles,
-       sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
        round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS novelty
 FROM sh s JOIN dfs d ON d.sh = s.sh

@@ -10,10 +10,17 @@ DataSource API: an upload directory becomes relational rows
     spark.readStream.format("pero_uploads").option("path", d).load()
 
 Batch semantics: one row per regular file present at planning time.
-Streaming semantics: files are ordered by (mtime_ns, name); the offset
-is a cursor into that order, so each micro-batch sees exactly the
-files that landed since the last one — the inbox-drain loop the
-reference runs per HTTP request, as an incremental source.
+Streaming semantics: the offset is a monotone watermark over the
+(mtime_ns, name) total order — ``{"m": <max committed mtime_ns>,
+"names": [names already committed AT that mtime]}`` — and each
+micro-batch selects files strictly beyond it, so each batch sees
+exactly the files that landed since the last one — the inbox-drain
+loop the reference runs per HTTP request, as an incremental source.
+A positional cursor would shift under deletions (the reference cleans
+up processed uploads) or mtime ties; the watermark is content-
+addressed, so deletions never skip/duplicate, same-mtime arrivals are
+disambiguated by name, and ``latestOffset`` never regresses even if
+the whole inbox is emptied.
 
 Scale notes: listing happens once on the driver (exactly like Spark's
 built-in file sources — at 10^9 files you front this with a manifest
@@ -107,32 +114,65 @@ class UploadBatchReader(DataSourceReader):
             yield _row(self.path, name, size)
 
 
+def _beyond(offset: dict, mtime_ns: int, name: str) -> bool:
+    """True iff a file at (mtime_ns, name) is NOT yet covered by the
+    watermark offset {"m": ..., "names": [...]}."""
+    if mtime_ns != offset["m"]:
+        return mtime_ns > offset["m"]
+    return name not in offset["names"]
+
+
 class UploadStreamReader(DataSourceStreamReader):
+    """Incremental inbox reader with a monotone, content-addressed
+    offset (see module docstring).  The offset is the max committed
+    (mtime_ns, name) frontier plus the set of names already committed
+    at that exact mtime — O(files-per-timestamp) state, not O(files),
+    and immune to position shifts from deletions or mtime ties."""
+
     def __init__(self, path: str):
         self.path = path
+        self._last: dict | None = None  # latestOffset monotonicity guard
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"m": -1, "names": []}
 
     def latestOffset(self) -> dict:
-        return {"pos": len(_list_uploads(self.path))}
+        files = _list_uploads(self.path)
+        last = self._last or self.initialOffset()
+        if not files:
+            self._last = last
+            return last
+        max_m = max(t[2] for t in files)
+        names = sorted(n for n, _s, m in files if m == max_m)
+        if max_m > last["m"]:
+            off = {"m": max_m, "names": names}
+        elif max_m == last["m"]:
+            off = {"m": max_m, "names": sorted(set(names) | set(last["names"]))}
+        else:
+            # the inbox was drained/cleaned below the committed frontier;
+            # never regress (a regressing offset re-reads or aborts)
+            off = last
+        self._last = off
+        return off
 
     def partitions(self, start: dict, end: dict):
-        files = _list_uploads(self.path)[start["pos"] : end["pos"]]
+        files = [
+            (n, s)
+            for n, s, m in _list_uploads(self.path)
+            if _beyond(start, m, n) and not _beyond(end, m, n)
+        ]
         chunks = [
             files[i : i + FILES_PER_PARTITION]
             for i in range(0, len(files), FILES_PER_PARTITION)
         ]
-        return [
-            _FilesPartition([(n, s) for n, s, _ in c]) for c in chunks
-        ] or [_FilesPartition([])]
+        return [_FilesPartition(c) for c in chunks] or [_FilesPartition([])]
 
     def read(self, partition: _FilesPartition):
         for name, size in partition.names_sizes:
             yield _row(self.path, name, size)
 
     def commit(self, end: dict) -> None:
-        # offsets are positions in a stable listing; nothing to clean up
+        # the watermark is self-contained; nothing to clean up
         pass
 
 

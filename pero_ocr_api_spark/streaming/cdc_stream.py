@@ -68,7 +68,12 @@ def streaming_upsert(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+        # seq ties resolve deterministically via the payload columns —
+        # never partition order (same fix as merge_cdc_ops' op tiebreak)
+        others = [c for c in batch_df.columns if c not in (key, seq)]
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq).desc(), *[F.col(c).asc() for c in others]
+        )
         folded = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -466,20 +466,32 @@ def test_codec_seam_pluggable(monkeypatch):
     assert base.shape == (2, 4, 3) and base.dtype == np.uint8
     assert np.array_equal(base, mm._decode_fake(b"\x01\x02\x03\x04", 4, 2))
 
-    # fake cv2 through the seam: imdecode's BGR output must come back
+    jpeg_payload = b"\xff\xd8\xff\xe0" + b"\x00" * 16  # real JPEG magic
+
+    # fake cv2 through the seam: a payload with genuine image magic
+    # goes through cv2.imdecode, and its BGR output must come back
     # channel-flipped to RGB
     bgr = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     fake_cv2 = types.ModuleType("cv2")
     fake_cv2.imdecode = lambda buf, flag: bgr.copy()
     monkeypatch.setitem(sys.modules, "cv2", fake_cv2)
-    out = mm._decode(b"whatever", 999, 999)
+    out = mm._decode(jpeg_payload, 999, 999)
     assert np.array_equal(out, bgr[:, :, ::-1])
 
-    # a codec that rejects the payload is a row-level error (ok=False
-    # in decode_images), NOT a silent fall-through to the fake
+    # a payload WITHOUT image magic bytes (the synthetic bench tiles)
+    # must bypass an installed codec entirely — cv2 would reject it and
+    # flip every oracle row to ok=False
+    fake_cv2.imdecode = lambda buf, flag: (_ for _ in ()).throw(
+        AssertionError("real codec must not see synthetic payloads")
+    )
+    synth = mm._decode(b"\x01\x02\x03\x04", 4, 2)
+    assert np.array_equal(synth, mm._decode_fake(b"\x01\x02\x03\x04", 4, 2))
+
+    # a codec that rejects a real-magic payload is a row-level error
+    # (ok=False in decode_images), NOT a silent fall-through to the fake
     fake_cv2.imdecode = lambda buf, flag: None
     with pytest.raises(ValueError):
-        mm._decode(b"junk", 4, 2)
+        mm._decode(jpeg_payload, 4, 2)
 
 
 def test_bm25_plan_topk_and_broadcasts(spark, sf_smoke):

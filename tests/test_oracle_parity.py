@@ -40,7 +40,7 @@ def test_driver_window_covers_everything_cumulatively():
     qs = list(_REG.keys())
     assert qs[: len(entry_mod._DRIVER_WINDOW)] == entry_mod._DRIVER_WINDOW
     green = set()
-    for rnd in ("r01", "r02", "r03"):
+    for rnd in ("r01", "r02", "r03", "r04"):
         prior = json.loads(
             (Path(entry_mod.__file__).parent / f"CORRECTNESS_{rnd}.json")
             .read_text()

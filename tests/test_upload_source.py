@@ -72,3 +72,68 @@ def test_upload_stream_incremental(spark, inbox, tmp_path):
     # idle re-drain appends nothing
     drain()
     assert spark.read.parquet(out).count() == 5
+
+
+def test_upload_stream_offset_survives_deletes_and_mtime_ties(
+    spark, tmp_path
+):
+    """The ADVICE scenario: a positional offset skips/duplicates when
+    the inbox shrinks (reference cleans processed uploads) or when a
+    new file's mtime ties an already-committed one.  The watermark
+    offset must read each file exactly once through both."""
+    inbox = tmp_path / "uploads"
+    inbox.mkdir()
+    _write(inbox, "a.jpg", b"\x01")
+    _write(inbox, "c.jpg", b"\x02")
+    t0 = os.stat(os.path.join(inbox, "a.jpg")).st_mtime_ns
+    # pin both to the same mtime
+    os.utime(os.path.join(inbox, "a.jpg"), ns=(t0, t0))
+    os.utime(os.path.join(inbox, "c.jpg"), ns=(t0, t0))
+
+    register_upload_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("pero_uploads")
+            .option("path", str(inbox))
+            .load()
+            .drop("payload")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert {r.page_id for r in spark.read.parquet(out).collect()} == {"a", "c"}
+
+    # a NEW file whose (mtime, name) ties the committed frontier: same
+    # mtime as a/c, name sorts between them — a positional cursor would
+    # skip it or re-read c; the names-at-frontier set catches it
+    _write(inbox, "b.jpg", b"\x03")
+    os.utime(os.path.join(inbox, "b.jpg"), ns=(t0, t0))
+    # AND the already-processed file is cleaned up (reference behavior)
+    os.remove(os.path.join(inbox, "a.jpg"))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.page_id for r in rows) == ["a", "b", "c"]  # exactly once
+
+    # emptying the inbox entirely must not regress the offset or emit
+    os.remove(os.path.join(inbox, "b.jpg"))
+    os.remove(os.path.join(inbox, "c.jpg"))
+    drain()
+    assert spark.read.parquet(out).count() == 3
+
+    # and a genuinely newer file after the purge still flows
+    _write(inbox, "d.jpg", b"\x04")
+    os.utime(
+        os.path.join(inbox, "d.jpg"), ns=(t0 + 1_000_000, t0 + 1_000_000)
+    )
+    drain()
+    assert sorted(
+        r.page_id for r in spark.read.parquet(out).collect()
+    ) == ["a", "b", "c", "d"]
