@@ -77,17 +77,47 @@ def stub_infer_one(media_ref: str) -> tuple[Optional[str], list[tuple[int, str, 
     return None, lines
 
 
+# emulated page size range (megapixels): deterministic per media_ref,
+# downsample-capped at MAX_MEGAPIXELS exactly like the reference's
+# layout-inference cap (/root/reference/app/db/model.py:188-192)
+MAX_MEGAPIXELS = 5.0
+_MP_REF = 2.75  # midpoint of the emulated [0.5, 5.0] range
+
+
+def page_megapixels(media_ref: str) -> float:
+    """Deterministic emulated image size in megapixels ∈ [0.5, 5.0]
+    (post-downsample: the reference rescales anything over
+    MAX_MEGAPIXELS before inference, model.py:188-192)."""
+    h = hashlib.md5((media_ref + ":mp").encode()).hexdigest()
+    raw = 0.5 + (int(h[:4], 16) % 1000) / 1000.0 * 9.5  # [0.5, 10.0)
+    return min(raw, MAX_MEGAPIXELS)
+
+
 class _StubEngine:
     """Per-executor model singleton.  A real deployment loads broadcast
     weights here once and reuses them across every Arrow batch the
     executor sees (never re-pickled per batch).
 
-    Emulated inference cost (bench/scaling only; does not affect output):
-    - ``config['work_sleep_ms']`` — per-page *latency*, slept once per
-      Arrow batch (len(batch) × ms).  Real pero-ocr inference is
-      GPU-bound PyTorch (GPU_FRACTION=0.5, /root/reference/app/db/
-      model.py:192): the executor CPU mostly waits on the accelerator,
-      so latency is the honest model of the production bottleneck.
+    Emulated inference cost (bench/scaling only; NEVER affects output —
+    results are a pure function of media_ref either way):
+    - ``config['work_sleep_ms']`` — single-page device-call latency.
+      Real pero-ocr inference is GPU-bound PyTorch (GPU_FRACTION=0.5,
+      /root/reference/app/db/model.py:192): the executor CPU mostly
+      waits on the accelerator, so latency is the honest model of the
+      production bottleneck.
+    - ``config['batch_pages']`` (default 1) — device micro-batching:
+      pages within an Arrow batch are grouped onto emulated device
+      calls of up to this many pages, additionally capped by
+      ``config['batch_megapixels']`` (default 40.0) total image area —
+      the reference's PageParser batches line crops onto the GPU the
+      same way (run_client.py:184-185) under the MAX_MEGAPIXELS cap.
+      A device call with pages totalling M megapixels sleeps
+        work_sleep_ms × (1 − frac)            # fixed call overhead
+        + work_sleep_ms × frac × (M / 2.75)   # area-proportional compute
+      with ``frac = config['batch_marginal_frac']`` (default 0.2), so a
+      single average page still costs exactly work_sleep_ms (the r4
+      serial shape) while a full 16-page batch costs ~4ms/page — the
+      overhead-amortization curve of a real accelerator.
     - ``config['work_iters']`` — per-page CPU md5 chains (the pre/post
       processing share; ~0.5 µs per chain).
     The md5 stub alone is ~10 µs/page — any scaling measurement without
@@ -97,11 +127,49 @@ class _StubEngine:
         self.config = config
         self.work_iters = int(config.get("work_iters", 0))
         self.work_sleep_ms = float(config.get("work_sleep_ms", 0.0))
+        self.batch_pages = max(1, int(config.get("batch_pages", 1)))
+        self.batch_megapixels = float(config.get("batch_megapixels", 40.0))
+        self.batch_marginal_frac = float(
+            config.get("batch_marginal_frac", 0.2)
+        )
 
     def _burn(self, seed: str) -> None:
         h = seed.encode()
         for _ in range(self.work_iters):
             h = hashlib.md5(h).digest()
+
+    def plan_device_batches(self, refs: list[str]) -> list[list[str]]:
+        """Greedy micro-batch assembly: close a device call at
+        batch_pages pages OR when adding the next page would blow the
+        megapixel budget (a single over-budget page still ships alone —
+        it was already downsample-capped)."""
+        if self.batch_pages <= 1:
+            return [[r] for r in refs]
+        calls: list[list[str]] = []
+        cur: list[str] = []
+        cur_mp = 0.0
+        for r in refs:
+            mp = page_megapixels(r)
+            if cur and (
+                len(cur) >= self.batch_pages
+                or cur_mp + mp > self.batch_megapixels
+            ):
+                calls.append(cur)
+                cur, cur_mp = [], 0.0
+            cur.append(r)
+            cur_mp += mp
+        if cur:
+            calls.append(cur)
+        return calls
+
+    def _device_call_ms(self, call: list[str]) -> float:
+        if not self.work_sleep_ms:
+            return 0.0
+        if self.batch_pages <= 1:
+            return self.work_sleep_ms * len(call)
+        mp = sum(page_megapixels(r) for r in call)
+        frac = self.batch_marginal_frac
+        return self.work_sleep_ms * ((1.0 - frac) + frac * mp / _MP_REF)
 
     def infer_batch(self, refs: pd.Series) -> list[tuple[Optional[str], list]]:
         out = [stub_infer_one(r) for r in refs]
@@ -109,7 +177,11 @@ class _StubEngine:
             for r in refs:
                 self._burn(r)
         if self.work_sleep_ms:
-            time.sleep(len(refs) * self.work_sleep_ms / 1000.0)
+            sleep_ms = sum(
+                self._device_call_ms(c)
+                for c in self.plan_device_batches(list(refs))
+            )
+            time.sleep(sleep_ms / 1000.0)
         return out
 
 
