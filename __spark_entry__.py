@@ -79,6 +79,13 @@ _DRIVER_WINDOW = [
     # micro-batching change reorganizes — re-record them as insurance
     "extract_serialize_txt", "extract_serialize_alto",
     "extract_serialize_page", "extract_conf_histogram",
+    # NEW in round 5 (VERDICT r4 item 8): cross-encoder-style rerank
+    # after LSH-ANN (top-k -> broadcast feature join -> pairwise
+    # token-Jaccard rescore -> final window), and the Lee et al. 2022
+    # exact-substring duplicated-SPAN extractor (stride-1 length-L
+    # anchors + gaps-and-islands merge == suffix-array repeats with
+    # minimum match length L)
+    "td_sim_rerank", "td_dedup_substring_spans",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -100,8 +107,7 @@ _DRIVER_WINDOW = [
     "td_event_robust_outliers",
     "td_sim_pq_encode", "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical", "td_pack_sequences",
-    "td_sim_bruteforce_topk", "td_chunk_documents", "td_sim_pq_search",
-    "td_length_deciles",
+    "td_sim_bruteforce_topk", "td_chunk_documents",
 ]
 
 

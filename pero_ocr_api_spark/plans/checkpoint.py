@@ -143,6 +143,19 @@ class CheckpointedExtractor:
             json.dump(lineage, f)
         os.replace(tmp, self._manifest_path(group))  # atomic snapshot commit
 
+    def _write_group(self, spark: SparkSession, g: int, res) -> tuple[int, int]:
+        """Land one group's spans/docs (NOT yet visible — visibility is
+        the manifest commit); returns (doc_count, span_count) read back
+        from the landed files.  The Iceberg backend overrides this with
+        writeTo().overwritePartitions() (plans/iceberg_backend.py)."""
+        spans_path = os.path.join(self.output_dir, "spans", f"group={g}")
+        docs_path = os.path.join(self.output_dir, "docs", f"group={g}")
+        res.spans.write.mode("overwrite").parquet(spans_path)
+        res.docs.write.mode("overwrite").parquet(docs_path)
+        span_count = spark.read.parquet(spans_path).count()
+        doc_count = spark.read.parquet(docs_path).count()
+        return doc_count, span_count
+
     # ---- run / resume ----
     def _grouped(self, documents: DataFrame) -> DataFrame:
         return documents.withColumn(
@@ -215,12 +228,7 @@ class CheckpointedExtractor:
                 salt_partitions=self.salt_partitions,
                 persist_inference=True,
             )
-            spans_path = os.path.join(self.output_dir, "spans", f"group={g}")
-            docs_path = os.path.join(self.output_dir, "docs", f"group={g}")
-            res.spans.write.mode("overwrite").parquet(spans_path)
-            res.docs.write.mode("overwrite").parquet(docs_path)
-            span_count = spark.read.parquet(spans_path).count()
-            doc_count = spark.read.parquet(docs_path).count()
+            doc_count, span_count = self._write_group(spark, g, res)
             res.unpersist()
             snapshot += 1
             lineage = {

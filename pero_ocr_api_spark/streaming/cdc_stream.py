@@ -7,11 +7,18 @@ analog is foreachBatch + MERGE: each micro-batch of change rows folds
 into the target as one set-based upsert, and the new table version
 becomes visible atomically.  Without a transactional table format in
 the sandbox, the snapshot is modeled exactly like the checkpoint
-plane: every batch writes a full new version directory ``v=<batch>``
-and flips a ``_LATEST`` pointer via atomic rename — a retried
-micro-batch (crash between write and stream-checkpoint commit)
-rewrites its own version and re-flips the pointer to the same content,
-so the sink is idempotent.
+plane: every batch writes a full new version directory
+``v=<batch>-<attempt>`` and flips a ``_LATEST`` pointer via atomic
+rename.  The attempt suffix makes every write land in a FRESH dir:
+a retried micro-batch (crash between write and stream-checkpoint
+commit) may find the pointer already at its own batch's output and
+must never overwrite the directory it is simultaneously reading the
+target from (Spark's overwrite deletes input files mid-read — a real
+bug this plane's kill-mid-foreachBatch test caught).  Re-applying a
+batch the target already contains is a fixed point of merge_upsert,
+so the retry's fresh version has identical content and the re-flip is
+idempotent; superseded version dirs are unreferenced garbage (a real
+lakehouse GCs them via snapshot expiry).
 
 Scale note: rewriting the full target per batch is the sandbox
 stand-in; on a real lakehouse the same ``merge_upsert`` plan commits
@@ -23,6 +30,7 @@ part that carries over unchanged.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -81,7 +89,10 @@ def streaming_upsert(
         )
         target = read_target(s, target_dir)
         merged = folded if target is None else merge_upsert(target, folded, key)
-        version = f"v={batch_id}"
+        # unique per attempt: a retry must never overwrite a version dir
+        # the pointer may already reference (it would be deleting the
+        # files the merge is reading)
+        version = f"v={batch_id}-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(
             os.path.join(target_dir, version)
         )

@@ -422,6 +422,95 @@ def test_streaming_upsert_folds_batches_in_order(spark, tmp_path):
     assert again == got
 
 
+def test_streaming_upsert_crash_between_merge_and_pointer_flip(
+    spark, tmp_path, monkeypatch
+):
+    """Exactly-once under crash (VERDICT r4 item 7): kill the job at the
+    two worst moments inside foreachBatch — (a) after the merged
+    snapshot is written but BEFORE the pointer flips, and (b) after the
+    pointer flips but before Spark commits the batch offset — then
+    re-drain.  Both retries must converge to the same final table as an
+    uninterrupted run: the version-dir write is keyed by batch_id
+    (overwrite-idempotent) and re-merging rows already in the target is
+    a fixed point of merge_upsert."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pero_ocr_api_spark.streaming import cdc_stream
+    from pero_ocr_api_spark.streaming.cdc_stream import (
+        read_target, streaming_upsert,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("v", StringType()),
+        StructField("seq", LongType()),
+    ])
+    in_dir = str(tmp_path / "changes")
+    tgt = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], schema
+    ).write.mode("append").parquet(in_dir)
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+
+    real_flip = cdc_stream._commit_pointer
+
+    # ---- crash (a): merged data landed, pointer NOT flipped ----
+    def crash_before_flip(target_dir, version):
+        raise RuntimeError("injected crash before pointer flip")
+
+    spark.createDataFrame(
+        [(1, "a2", 20), (3, "c", 1)], schema
+    ).write.mode("append").parquet(in_dir)
+    monkeypatch.setattr(cdc_stream, "_commit_pointer", crash_before_flip)
+    with pytest.raises(Exception, match="injected crash before pointer"):
+        streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+    # the crash left the COMMITTED view untouched (old pointer)
+    got = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert got == {1: ("a", 10), 2: ("b", 10)}
+
+    monkeypatch.setattr(cdc_stream, "_commit_pointer", real_flip)
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)  # retry drains same batch
+    got = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert got == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 1)}
+
+    # ---- crash (b): pointer flipped, then the job dies before the
+    # streaming offset commit — the retry re-runs the SAME batch over a
+    # target that already contains it ----
+    calls = {"n": 0}
+
+    def crash_after_flip(target_dir, version):
+        real_flip(target_dir, version)
+        calls["n"] += 1
+        raise RuntimeError("injected crash after pointer flip")
+
+    spark.createDataFrame(
+        [(2, "b9", 30), (4, "d", 1)], schema
+    ).write.mode("append").parquet(in_dir)
+    monkeypatch.setattr(cdc_stream, "_commit_pointer", crash_after_flip)
+    with pytest.raises(Exception, match="injected crash after pointer"):
+        streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+    assert calls["n"] == 1
+    # the flip won the race: the new data IS already visible
+    got = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert got == {1: ("a2", 20), 2: ("b9", 30), 3: ("c", 1), 4: ("d", 1)}
+
+    monkeypatch.setattr(cdc_stream, "_commit_pointer", real_flip)
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)  # re-merge = fixed point
+    again = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert again == got
+
+    # and a fresh post-recovery batch still flows normally
+    spark.createDataFrame([(5, "e", 1)], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+    assert read_target(spark, tgt).count() == 5
+
+
 def test_stream_stream_join_equals_batch(spark, tmp_path_factory):
     """Watermarked stream-stream interval join (claims ⋈ results within
     the hour) equals the batch join on the same events — including a
