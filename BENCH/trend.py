@@ -174,7 +174,17 @@ def main() -> int:
                 adj = cur / deflate
                 pct = (adj - best) / best * 100.0
                 dbest = f"{pct:+.1f}"
-                if pct > REGRESSION_PCT and (adj - best) > ABS_FLOOR_S:
+                # a flag needs BOTH the against-the-fleet movement
+                # (deflated) AND a genuine raw slowdown: under a
+                # fleet-wide speedup (deflate < 1) a query that merely
+                # improved less than the fleet median is not a
+                # regression, while a raw slowdown hiding inside the
+                # fleet speedup still trips the adjusted gate
+                if (
+                    pct > REGRESSION_PCT
+                    and (adj - best) > ABS_FLOOR_S
+                    and cur > best
+                ):
                     regressed.append((q, pct))
         lines.append(
             f"| {q} | " + " | ".join(cells) + f" | {delta} | {dbest} |"
