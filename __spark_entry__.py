@@ -86,6 +86,10 @@ _DRIVER_WINDOW = [
     # anchors + gaps-and-islands merge == suffix-array repeats with
     # minimum match length L)
     "td_sim_rerank", "td_dedup_substring_spans",
+    # NEW in round 5: fastText-style hashed linear quality gate
+    # (unigram+bigram hashing trick, exact-integer weight sums, zero
+    # shuffles) — the CCNet/LLaMA corpus-filter shape
+    "td_text_hash_classifier",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -107,7 +111,7 @@ _DRIVER_WINDOW = [
     "td_event_robust_outliers",
     "td_sim_pq_encode", "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical", "td_pack_sequences",
-    "td_sim_bruteforce_topk", "td_chunk_documents",
+    "td_sim_bruteforce_topk",
 ]
 
 

@@ -37,3 +37,16 @@ def md5_byte_sql(expr: str, pos: int = 1) -> str:
         return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
 
     return f"({nibble(pos)} * 16 + {nibble(pos + 1)})"
+
+
+def md5_u16_col(expr: Column) -> Column:
+    """Spark Column: the first FOUR md5 hex nibbles of ``expr`` decoded
+    to a uniform 0-65535 integer (two md5_byte pairs) — the feature-
+    weight domain of the hashed linear classifier.  Kept here so the
+    Spark and DuckDB dialects decode identically."""
+    return (md5_byte_col(expr, 1) * 256 + md5_byte_col(expr, 3)).cast("long")
+
+
+def md5_u16_sql(expr: str) -> str:
+    """The DuckDB-SQL twin of md5_u16_col."""
+    return f"({md5_byte_sql(expr, 1)} * 256 + {md5_byte_sql(expr, 3)})"

@@ -832,3 +832,93 @@ def q_novelty(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---- fastText-style hashed linear quality classifier ----
+def _classifier_sql() -> str:
+    from .hashing import md5_u16_sql
+
+    u16 = md5_u16_sql("f")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+fe AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+         ) AS feats
+  FROM t WHERE len(toks) > 0),
+sc AS (
+  SELECT doc_id,
+         len(feats) AS n_feats,
+         round(list_sum(list_transform(feats, f -> {u16}))
+               / (len(feats) * 65535.0) * 2.0 - 1.0, 6) AS cls_score
+  FROM fe)
+SELECT doc_id, n_feats, cls_score,
+       round(1.0 / (1.0 + exp(-4.0 * cls_score)), 6) AS keep_prob,
+       round(1.0 / (1.0 + exp(-4.0 * cls_score)), 6) >= 0.5 AS keep
+FROM sc"""
+
+
+@_reg("td_text_hash_classifier", _classifier_sql())
+def q_hash_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed linear quality gate (the CCNet / LLaMA
+    corpus-filter shape): unigram + bigram features via the hashing
+    trick, a linear score, a sigmoid keep-probability, a boolean gate.
+    Weights come from the feature hash itself (md5-u16 → uniform
+    [0, 65535]), the sandbox stand-in for a broadcast trained weight
+    vector — swapping in real weights changes one `transform` lambda
+    (hash % D indexes a broadcast array) and nothing about the plan.
+
+    Float discipline: per-feature weights are EXACT integers summed
+    exactly (order-independent across engines); the double math
+    (normalize, sigmoid) happens once per row on identical integers,
+    then rounds to 6 dp — the td_text_unigram_ce discipline.
+
+    Scale shape: one JVM-side projection over a pruned (doc_id, text)
+    scan — zero shuffles, zero Python, no UDF (the array lambdas run
+    as interpreted JVM expressions outside WholeStageCodegen, like the
+    repo's other higher-order-function ops).  At 100 TB this is the cheapest
+    kind of operator there is; the trained-weights variant broadcasts
+    a D-float array to every executor exactly once.
+
+    Reference scope: the reference has no corpus-quality plane; this
+    is part of the training-data toolkit built on the same tables
+    (SURVEY §2 extras)."""
+    from .hashing import md5_u16_col
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    d = d.select("doc_id", F.concat(F.col("toks"), bigrams).alias("feats"))
+    raw_sum = F.aggregate(
+        F.transform("feats", md5_u16_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(
+        raw_sum / (F.size("feats") * F.lit(65535.0)) * 2.0 - 1.0, 6
+    )
+    d = d.select(
+        "doc_id",
+        F.size("feats").alias("n_feats"),
+        score.alias("cls_score"),
+    )
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * F.col("cls_score"))), 6
+    )
+    return d.select(
+        "doc_id",
+        "n_feats",
+        "cls_score",
+        prob.alias("keep_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

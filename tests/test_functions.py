@@ -684,3 +684,50 @@ def test_standardize_embeddings_matches_numpy(spark, sf_smoke):
     got = np.array([r["z_embedding"] for r in rows])
     # stats table is rounded to 6dp, so allow that quantization
     assert np.allclose(got, exp, atol=5e-4), np.abs(got - exp).max()
+
+
+def test_hash_classifier_features_and_gate(spark):
+    """td_text_hash_classifier geometry + semantics on a pinned
+    fixture: n_feats = 2n-1 (unigrams + bigrams), single-token docs
+    have exactly one feature (no degenerate descending `sequence`),
+    the score is the exact integer-sum formula, and keep == prob>=.5."""
+    import math
+
+    from pero_ocr_api_spark.functions.hashing import md5_u16_col
+    from pero_ocr_api_spark.functions.text import q_hash_classifier
+    import pero_ocr_api_spark.functions.text as _t
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16),
+         (2, "solo", "en", "s", 4),
+         (3, "  ", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = _t.load_table
+    _t.load_table = lambda _s, _sf, _t2: docs
+    try:
+        out = {r["doc_id"]: r for r in q_hash_classifier(spark, "_").collect()}
+    finally:
+        _t.load_table = orig
+
+    assert set(out) == {1, 2}  # whitespace-only doc filtered
+    assert out[1]["n_feats"] == 5  # 3 unigrams + 2 bigrams
+    assert out[2]["n_feats"] == 1  # single token -> no bigrams
+
+    # recompute doc 1's score from the shared u16 hash primitive
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    raws = [
+        r["u"]
+        for r in spark.createDataFrame([(f,) for f in feats], "f string")
+        .select(md5_u16_col(F.col("f")).alias("u"))
+        .collect()
+    ]
+    assert all(0 <= u <= 65535 for u in raws)
+    expect = round(sum(raws) / (len(raws) * 65535.0) * 2.0 - 1.0, 6)
+    assert out[1]["cls_score"] == expect
+    prob = round(1.0 / (1.0 + math.exp(-4.0 * out[1]["cls_score"])), 6)
+    assert abs(out[1]["keep_prob"] - prob) < 1e-9
+    for r in out.values():
+        assert -1.0 <= r["cls_score"] <= 1.0
+        assert r["keep"] == (r["keep_prob"] >= 0.5)
