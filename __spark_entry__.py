@@ -90,6 +90,10 @@ _DRIVER_WINDOW = [
     # (unigram+bigram hashing trick, exact-integer weight sums, zero
     # shuffles) — the CCNet/LLaMA corpus-filter shape
     "td_text_hash_classifier",
+    # NEW in round 5: data-card mixture report — GROUPING SETS
+    # lang/source rollup (Expand below a partial agg, one Exchange of
+    # group cells only)
+    "td_corpus_report",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -111,7 +115,6 @@ _DRIVER_WINDOW = [
     "td_event_robust_outliers",
     "td_sim_pq_encode", "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical", "td_pack_sequences",
-    "td_sim_bruteforce_topk",
 ]
 
 

@@ -922,3 +922,55 @@ def q_hash_classifier(spark: SparkSession, sf: str) -> DataFrame:
         prob.alias("keep_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+# ---- corpus report card: GROUPING SETS mixture rollup ----
+_CORPUS_REPORT_SQL = """
+WITH t AS (
+  SELECT lang, source, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents)
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(GROUPING(lang, source) AS INT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM t
+GROUP BY GROUPING SETS ((lang, source), (lang), ())"""
+
+
+@_reg("td_corpus_report", _CORPUS_REPORT_SQL)
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-card mixture report: doc / token / char totals per
+    (lang, source) cell, per-lang subtotals, and the corpus total in
+    ONE pass — the table every training-mix decision (rebalancing,
+    sampling targets, data cards) starts from.
+
+    Scale shape: GROUPING SETS expands each input row to its 3
+    grouping-set replicas BELOW a partial aggregate, so the shuffle
+    carries only group cells (|langs|x|sources| + |langs| + 1 rows),
+    never the corpus; one Exchange total.  grouping_id disambiguates
+    subtotal rows from a hypothetical literal '(all)' language.
+
+    Reference scope: no corpus-report plane in the reference; SURVEY
+    §2 extras (the documents-table twin of cp_a5a6_state_engine_cube,
+    with GROUPING SETS replacing the full cube lattice)."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "lang", "source", "n_chars", F.size(tokens_col()).alias("n_toks")
+    )
+    g = t.groupingSets([["lang", "source"], ["lang"], []], "lang", "source")
+    agg = g.agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    return agg.select(
+        F.coalesce("lang", F.lit("(all)")).alias("lang"),
+        F.coalesce("source", F.lit("(all)")).alias("source"),
+        "gid", "n_docs", "total_tokens", "total_chars", "avg_chars",
+    )

@@ -731,3 +731,23 @@ def test_hash_classifier_features_and_gate(spark):
     for r in out.values():
         assert -1.0 <= r["cls_score"] <= 1.0
         assert r["keep"] == (r["keep_prob"] >= 0.5)
+
+
+def test_corpus_report_rollup_consistency(spark, sf_smoke):
+    """td_corpus_report lattice invariants: per-lang subtotals sum the
+    (lang, source) cells, the corpus total sums the subtotals, and gid
+    encodes the grouping level (lang = MSB, matching DuckDB GROUPING)."""
+    from pero_ocr_api_spark.functions.text import q_corpus_report
+
+    rows = q_corpus_report(spark, sf_smoke).collect()
+    cells = [r for r in rows if r["gid"] == 0]
+    subs = {r["lang"]: r for r in rows if r["gid"] == 1}
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1 and not [r for r in rows if r["gid"] == 2]
+    assert all(r["source"] == "(all)" for r in subs.values())
+    for lang, sub in subs.items():
+        mine = [c for c in cells if c["lang"] == lang]
+        for m in ("n_docs", "total_tokens", "total_chars"):
+            assert sub[m] == sum(c[m] for c in mine), (lang, m)
+    for m in ("n_docs", "total_tokens", "total_chars"):
+        assert total[0][m] == sum(s[m] for s in subs.values())
