@@ -94,6 +94,10 @@ _DRIVER_WINDOW = [
     # lang/source rollup (Expand below a partial agg, one Exchange of
     # group cells only)
     "td_corpus_report",
+    # NEW in round 5: hard-negative mining for contrastive embedding
+    # training (label-filtered top-k; production candidate generator =
+    # the LSH/IVF plane)
+    "td_sim_hard_negatives",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -113,7 +117,7 @@ _DRIVER_WINDOW = [
     "td_emb_dim_stats", "td_curation_gumbel_sample",
     "td_dedup_source_matrix", "td_mm_features",
     "td_event_robust_outliers",
-    "td_sim_pq_encode", "td_mc_extract", "td_dedup_clusters",
+    "td_mc_extract", "td_dedup_clusters",
     "td_dedup_canonical", "td_pack_sequences",
 ]
 

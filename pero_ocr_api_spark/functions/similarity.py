@@ -1118,3 +1118,80 @@ def standardize_embeddings(
         lambda d, s: F.when(s >= min_std, d / s).otherwise(F.lit(0.0)),
     )
     return emb.withColumn("z_embedding", z)
+
+
+# ------------------------------------------------- hard-negative mining
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each query vector, the top-k most-similar corpus vectors whose
+    LABEL differs — the negatives that actually move the loss.  Emits
+    both labels so a training run can audit its negative pool.
+
+    Scale shape: identical to td_sim_bruteforce_topk (the 5-row query
+    set broadcasts into one pass over the corpus; the label predicate
+    filters BEFORE the rank window so the shuffle carries only
+    differing-label pairs).  At corpus scale the candidate generator
+    swaps to the LSH/IVF plane (rerank_after_ann's stage 1) and this
+    label filter + window apply unchanged to its output — mining cost
+    is then O(|Q| x k'), never O(|Q| x corpus).
+
+    Reference scope: no embedding-training plane in the reference;
+    SURVEY §2 extras (training-data toolkit)."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "norm", _norm(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"), F.col("label").alias("q_label"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"), F.col("label").alias("n_label"),
+    )
+    scored = (
+        cand.join(F.broadcast(queries))
+        .filter(
+            (F.col("n_id") != F.col("q_id"))
+            & (F.col("n_label") != F.col("q_label"))
+        )
+        .select(
+            "q_id", "q_label", "n_id", "n_label",
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "n_id", "q_label", "n_label", "cosine")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         round(
+           list_sum(list_transform(range(1, {DIM} + 1),
+             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+           6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+ranked AS (
+  SELECT q_id, q_label, n_id, n_label, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, rank, n_id, q_label, n_label, cosine
+FROM ranked WHERE rank <= {TOP_K}"""
+
+REGISTRY["td_sim_hard_negatives"] = (q_hard_negatives, SQL_HARD_NEGATIVES)

@@ -21,6 +21,7 @@ _BNLJ_OK = {
     "td_sim_ivfpq_search",   # same centroid cross (cell assignment)
     "td_dedup_semantic",     # same 8-centroid assignment cross (SemDeDup)
     "td_sim_bruteforce_topk",  # fixed 5-row query set vs corpus (baseline op)
+    "td_sim_hard_negatives",   # same fixed query set crossed for mining
     "td_sim_kmeans_step",    # 8 seed centroids crossed for assignment
     "td_curation_dsir",      # 1-row feature-total aggregate crossed in
     "td_profile_key_skew",   # 1-row global-stats aggregate crossed in
