@@ -478,14 +478,15 @@ def q_event_markov(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "td_event_props_variant",
     """SELECT event_type,
-       CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER)
-         AS k_bucket,
+       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0)
+            AS INTEGER) AS k_bucket,
        count(*) AS n,
        CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
          AS k_sum
 FROM events
 GROUP BY event_type,
-         CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER)""",
+         CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0)
+              AS INTEGER)""",
 )
 def q_event_props_variant(spark: SparkSession, sf: str) -> DataFrame:
     """Aggregate over a semi-structured payload column through Spark
@@ -508,8 +509,11 @@ def q_event_props_variant(spark: SparkSession, sf: str) -> DataFrame:
         ev.select("event_type", k.alias("k"))
         .groupBy(
             "event_type",
-            # floor-division to match DuckDB's `// 10` for negative k
-            # ((k/10).cast('int') truncates toward zero: -5 → 0 vs -1)
+            # EXPLICIT floor on both sides: neither engine's native
+            # idiom agrees for negative k (Spark (k/10).cast('int')
+            # truncates toward zero; DuckDB `//` ALSO truncates,
+            # verified (-5)//10 = 0 — not floor as r4 ADVICE claimed),
+            # so both dialects spell floor(k / 10.0) literally
             F.floor(F.col("k") / F.lit(10)).cast("int").alias("k_bucket"),
         )
         .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("k_sum"))

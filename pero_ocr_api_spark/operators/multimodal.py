@@ -85,12 +85,12 @@ def _decode_real(payload: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
-# Magic-byte prefixes of the containers a real codec can decode.  The
-# synthetic bench payloads (md5-hex tiles, synth_media_bytes above) match
-# none of these, so they are routed to the deterministic fake even on a
-# cluster image that ships cv2/PIL — otherwise the real codec would fail
-# on them (cv2 returns None, PIL raises UnidentifiedImageError) and flip
-# ok=False on every row, breaking the closed-form oracle.
+# Magic-byte prefixes of containers a real codec certainly handles —
+# these skip straight to the codec.  NOT an allowlist for decoding:
+# unknown containers still get a real-codec ATTEMPT (see _decode),
+# because codecs handle more formats than any prefix table (JPEG2000,
+# PNM, AVIF...).  Synthetic bench payloads are detected structurally
+# (_is_synthetic_tile) and never reach the codec.
 _IMAGE_MAGIC = (
     b"\xff\xd8\xff",            # JPEG
     b"\x89PNG\r\n\x1a\n",       # PNG
@@ -112,19 +112,44 @@ def _looks_like_image(payload: bytes) -> bool:
     return payload.startswith(_IMAGE_MAGIC)
 
 
+def _is_synthetic_tile(payload: bytes) -> bool:
+    """True iff the payload is exactly synth_media_bytes' shape: the
+    16-byte md5 digest tiled 8 times (128 bytes).  A real image
+    colliding with this structure would need its first 16 bytes
+    repeated verbatim 8 times — no real container does."""
+    return len(payload) == 128 and payload == payload[:16] * 8
+
+
 def _decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """The decode seam decode_images actually calls: real codec for
-    payloads carrying genuine image magic bytes when one is installed,
-    deterministic fake otherwise (same HxWx3 uint8 contract either
-    way).  Sniffing the container header — not just codec availability
-    — keeps the synthetic-payload oracle/bench plane green on cluster
-    images that DO ship cv2/PIL."""
+    """The decode seam decode_images actually calls — three-way route:
+
+    1. known image magic      -> real codec (fake only if NO codec
+                                 module is installed at all);
+    2. synthetic md5 tile     -> deterministic fake (keeps the
+                                 oracle/bench plane green on cluster
+                                 images that DO ship cv2/PIL);
+    3. anything else          -> ATTEMPT the real codec when one is
+                                 installed — codecs decode more
+                                 containers than the magic whitelist
+                                 (JPEG2000, PNM, AVIF...), and a
+                                 payload neither codec nor whitelist
+                                 recognizes must surface as a
+                                 row-level decode error (ok=False),
+                                 NEVER silently become fake pixels.
+                                 With no codec installed the fake
+                                 keeps the sandbox plumbing testable.
+    """
+    if _is_synthetic_tile(payload):
+        return _decode_fake(payload, width, height)
     if _looks_like_image(payload):
         try:
             return _decode_real(payload)
         except NotImplementedError:
             return _decode_fake(payload, width, height)
-    return _decode_fake(payload, width, height)
+    try:
+        return _decode_real(payload)
+    except NotImplementedError:
+        return _decode_fake(payload, width, height)
 
 
 def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:

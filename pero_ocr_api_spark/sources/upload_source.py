@@ -20,7 +20,11 @@ A positional cursor would shift under deletions (the reference cleans
 up processed uploads) or mtime ties; the watermark is content-
 addressed, so deletions never skip/duplicate, same-mtime arrivals are
 disambiguated by name, and ``latestOffset`` never regresses even if
-the whole inbox is emptied.
+the whole inbox is emptied — INCLUDING across query restarts: the
+planned frontier is persisted to a dotfile sidecar in the inbox at
+batch-planning time (Spark WALs the offset range before executing, so
+the sidecar never runs ahead of the engine's own durable state) and
+re-seeds the guard on construction.
 
 Scale notes: listing happens once on the driver (exactly like Spark's
 built-in file sources — at 10^9 files you front this with a manifest
@@ -72,11 +76,13 @@ FILES_PER_PARTITION = 64
 def _list_uploads(path: str) -> list[tuple[str, int, int]]:
     """(name, size, mtime_ns) for every regular file, ordered by
     (mtime_ns, name) — a total order that is stable under appends, so a
-    streaming cursor into it never re-reads or skips."""
+    streaming cursor into it never re-reads or skips.  Dotfiles are not
+    uploads (clients POST named page images) and are reserved for
+    source state (the persisted stream frontier below)."""
     out = []
     with os.scandir(path) as it:
         for e in it:
-            if e.is_file():
+            if e.is_file() and not e.name.startswith("."):
                 st = e.stat()
                 out.append((e.name, st.st_size, st.st_mtime_ns))
     out.sort(key=lambda t: (t[2], t[0]))
@@ -114,6 +120,46 @@ class UploadBatchReader(DataSourceReader):
             yield _row(self.path, name, size)
 
 
+_FRONTIER_NAME = ".pero_uploads_frontier.json"
+
+
+def _read_frontier(path: str) -> dict | None:
+    """The last committed offset, persisted across query restarts."""
+    import json
+
+    fp = os.path.join(path, _FRONTIER_NAME)
+    try:
+        with open(fp) as f:
+            off = json.load(f)
+        if isinstance(off, dict) and "m" in off and "names" in off:
+            return off
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _advance_frontier(path: str, off: dict) -> None:
+    """Monotonically advance the persisted frontier to cover ``off``
+    (atomic: tmp + rename).  Same-mtime name sets merge so concurrent
+    planners can only widen coverage, never shrink it."""
+    import json
+
+    cur = _read_frontier(path)
+    if cur is not None:
+        if off["m"] < cur["m"]:
+            return
+        if off["m"] == cur["m"]:
+            merged = sorted(set(off["names"]) | set(cur["names"]))
+            if merged == sorted(cur["names"]):
+                return
+            off = {"m": off["m"], "names": merged}
+    fp = os.path.join(path, _FRONTIER_NAME)
+    tmp = fp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(off, f)
+    os.replace(tmp, fp)
+
+
 def _beyond(offset: dict, mtime_ns: int, name: str) -> bool:
     """True iff a file at (mtime_ns, name) is NOT yet covered by the
     watermark offset {"m": ..., "names": [...]}."""
@@ -131,7 +177,13 @@ class UploadStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str):
         self.path = path
-        self._last: dict | None = None  # latestOffset monotonicity guard
+        # latestOffset monotonicity guard.  Seeded from the persisted
+        # frontier sidecar: an in-memory-only guard resets on query
+        # RESTART, and a restart over a cleaned-out inbox would then
+        # emit an offset below the checkpointed frontier — a re-landed
+        # old file (mv preserves mtime; the reference re-uploads failed
+        # requests under the same name) would be read twice.
+        self._last: dict | None = _read_frontier(path)
 
     def initialOffset(self) -> dict:
         return {"m": -1, "names": []}
@@ -156,6 +208,15 @@ class UploadStreamReader(DataSourceStreamReader):
         return off
 
     def partitions(self, start: dict, end: dict):
+        # Persist the planned end as the durable frontier.  Spark WALs
+        # the batch's offset range BEFORE executing it, so by the time
+        # partitions() runs, `end` is already the engine's own durable
+        # frontier — a restart replays exactly [start, end] and then
+        # moves past it, so seeding latestOffset's monotonicity guard
+        # with `end` can never skip a file.  (commit() would be the
+        # natural home but the Python DataSource runner does not
+        # invoke it.)
+        _advance_frontier(self.path, end)
         files = [
             (n, s)
             for n, s, m in _list_uploads(self.path)
@@ -172,7 +233,9 @@ class UploadStreamReader(DataSourceStreamReader):
             yield _row(self.path, name, size)
 
     def commit(self, end: dict) -> None:
-        # the watermark is self-contained; nothing to clean up
+        # the frontier is persisted in partitions() (the Python
+        # DataSource runner does not reliably invoke commit); nothing
+        # left to clean up here
         pass
 
 

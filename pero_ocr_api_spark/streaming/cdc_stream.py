@@ -38,6 +38,23 @@ from pyspark.sql import functions as F
 from ..functions.cdc import merge_upsert
 
 
+def _orderable(dt) -> bool:
+    """True iff Spark accepts the type in an ORDER BY / window ordering
+    (TypeUtils.checkForOrderingExpr semantics): maps are not orderable,
+    and a struct/array is only as orderable as its children."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if dt.typeName() == "variant":
+        return False
+    return True
+
+
 def _latest_path(target_dir: str) -> str:
     return os.path.join(target_dir, "_LATEST")
 
@@ -77,8 +94,18 @@ def streaming_upsert(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         # seq ties resolve deterministically via the payload columns —
-        # never partition order (same fix as merge_cdc_ops' op tiebreak)
-        others = [c for c in batch_df.columns if c not in (key, seq)]
+        # never partition order (same fix as merge_cdc_ops' op tiebreak).
+        # Only ORDERABLE columns may enter the window ordering: a map
+        # (or map-bearing struct/array) payload column would fail
+        # analysis ("cannot be used in order specification") and crash
+        # the sink on schemas plain append accepted.
+        orderable = {
+            f.name for f in batch_df.schema.fields if _orderable(f.dataType)
+        }
+        others = [
+            c for c in batch_df.columns
+            if c not in (key, seq) and c in orderable
+        ]
         w = Window.partitionBy(key).orderBy(
             F.col(seq).desc(), *[F.col(c).asc() for c in others]
         )

@@ -478,14 +478,29 @@ def test_codec_seam_pluggable(monkeypatch):
     out = mm._decode(jpeg_payload, 999, 999)
     assert np.array_equal(out, bgr[:, :, ::-1])
 
-    # a payload WITHOUT image magic bytes (the synthetic bench tiles)
-    # must bypass an installed codec entirely — cv2 would reject it and
-    # flip every oracle row to ok=False
+    # the synthetic bench tiles (md5 digest tiled 8x, detected
+    # STRUCTURALLY) must bypass an installed codec entirely — cv2 would
+    # reject them and flip every oracle row to ok=False
     fake_cv2.imdecode = lambda buf, flag: (_ for _ in ()).throw(
         AssertionError("real codec must not see synthetic payloads")
     )
-    synth = mm._decode(b"\x01\x02\x03\x04", 4, 2)
-    assert np.array_equal(synth, mm._decode_fake(b"\x01\x02\x03\x04", 4, 2))
+    tile = bytes(range(16)) * 8
+    assert mm._is_synthetic_tile(tile)
+    synth = mm._decode(tile, 4, 2)
+    assert np.array_equal(synth, mm._decode_fake(tile, 4, 2))
+
+    # an UNKNOWN container (not whitelisted magic, not a synthetic
+    # tile — e.g. JPEG2000/PNM/AVIF) must still ATTEMPT the real codec
+    # when one is installed: decodable -> real pixels, not fake ones
+    jp2ish = b"\x00\x00\x00\x0cjP  " + b"\x00" * 16
+    fake_cv2.imdecode = lambda buf, flag: bgr.copy()
+    out2 = mm._decode(jp2ish, 999, 999)
+    assert np.array_equal(out2, bgr[:, :, ::-1])
+    # ...and an undecodable unknown payload is a row-level error
+    # (ok=False), never silent fake pixels
+    fake_cv2.imdecode = lambda buf, flag: None
+    with pytest.raises(ValueError):
+        mm._decode(jp2ish, 4, 2)
 
     # a codec that rejects a real-magic payload is a row-level error
     # (ok=False in decode_images), NOT a silent fall-through to the fake

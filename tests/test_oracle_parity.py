@@ -57,3 +57,34 @@ def test_driver_window_covers_everything_cumulatively():
     demoted = qs[50:]
     missing = [q for q in demoted if q not in green and q not in rows_only]
     assert not missing, f"demoted without prior driver-green: {missing}"
+
+
+def test_compare_kind_gate_skips_valueless_columns():
+    """The dtype-KIND strictness gate must not false-positive on a
+    column with zero non-null cells (empty result or all-NULL date:
+    Spark DateType -> object while DuckDB DATE -> datetime64), and an
+    actual all-null-vs-values divergence must still be flagged by the
+    value loop."""
+    import pandas as pd
+
+    from pero_ocr_api_spark.compare import compare_frames
+
+    empty_obj = pd.DataFrame({"d": pd.Series([], dtype=object)})
+    empty_ts = pd.DataFrame({"d": pd.Series([], dtype="datetime64[us]")})
+    assert compare_frames(empty_obj, empty_ts) == []
+
+    allnull_obj = pd.DataFrame({"d": pd.Series([None, None], dtype=object)})
+    allnull_ts = pd.DataFrame(
+        {"d": pd.Series([pd.NaT, pd.NaT], dtype="datetime64[us]")}
+    )
+    assert compare_frames(allnull_obj, allnull_ts) == []
+
+    values_ts = pd.DataFrame(
+        {"d": pd.Series(pd.to_datetime(["2026-01-01", "2026-01-02"]))}
+    )
+    assert compare_frames(allnull_obj, values_ts) != []
+
+    # the original strictness case must still fail: int vs float kinds
+    ints = pd.DataFrame({"n": pd.Series([1, 2], dtype="int64")})
+    floats = pd.DataFrame({"n": pd.Series([1.0, 2.0], dtype="float64")})
+    assert any("kind mismatch" in p for p in compare_frames(ints, floats))

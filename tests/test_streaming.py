@@ -885,3 +885,35 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path_factory):
         .collect()
     )
     assert got == exp and len(got) == 3  # p4 dropped (inner join)
+
+
+def test_streaming_upsert_accepts_map_payload_column(spark, tmp_path):
+    """Schemas with unorderable payload columns (MapType) must not
+    crash the seq-tie window ordering — the tiebreaker uses only
+    ORDERABLE columns, and a genuine seq winner still resolves by seq
+    alone."""
+    from pyspark.sql.types import (
+        LongType, MapType, StringType, StructField, StructType,
+    )
+
+    from pero_ocr_api_spark.streaming.cdc_stream import (
+        read_target, streaming_upsert,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("v", StringType()),
+        StructField("props", MapType(StringType(), StringType())),
+        StructField("seq", LongType()),
+    ])
+    in_dir = str(tmp_path / "changes")
+    tgt = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "a", {"k": "x"}, 10), (1, "b", {"k": "y"}, 11), (2, "c", {}, 1)],
+        schema,
+    ).write.mode("append").parquet(in_dir)
+    streaming_upsert(spark, in_dir, tgt, ckpt, schema)
+    got = {r.doc_id: (r.v, r.seq) for r in read_target(spark, tgt).collect()}
+    assert got == {1: ("b", 11), 2: ("c", 1)}

@@ -137,3 +137,59 @@ def test_upload_stream_offset_survives_deletes_and_mtime_ties(
     assert sorted(
         r.page_id for r in spark.read.parquet(out).collect()
     ) == ["a", "b", "c", "d"]
+
+
+def test_upload_stream_frontier_survives_restart(spark, tmp_path):
+    """The monotonicity guard must hold across query RESTARTS (a fresh
+    reader instance): after the inbox is cleaned and the query
+    restarted, latestOffset must return the persisted committed
+    frontier — not initialOffset — and a processed file re-landed with
+    its original mtime (mv preserves mtime; the reference re-uploads
+    failed requests under the same name) must NOT produce a duplicate
+    row."""
+    from pero_ocr_api_spark.sources.upload_source import (
+        UploadStreamReader,
+    )
+
+    inbox = tmp_path / "uploads"
+    inbox.mkdir()
+    _write(inbox, "a.jpg", b"\x01")
+    t0 = os.stat(os.path.join(inbox, "a.jpg")).st_mtime_ns
+    os.utime(os.path.join(inbox, "a.jpg"), ns=(t0, t0))
+
+    register_upload_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("pero_uploads")
+            .option("path", str(inbox))
+            .load()
+            .drop("payload")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 1
+    payload = open(os.path.join(inbox, "a.jpg"), "rb").read()
+
+    # inbox cleaned (reference behavior), then RESTART: a brand-new
+    # reader must seed its guard from the persisted frontier
+    os.remove(os.path.join(inbox, "a.jpg"))
+    fresh = UploadStreamReader(str(inbox))
+    off = fresh.latestOffset()
+    assert off["m"] == t0 and "a.jpg" in off["names"]
+
+    # old upload re-lands with its original mtime: behind the
+    # committed watermark -> exactly-once holds through the restart
+    with open(os.path.join(inbox, "a.jpg"), "wb") as f:
+        f.write(payload)
+    os.utime(os.path.join(inbox, "a.jpg"), ns=(t0, t0))
+    drain()
+    assert spark.read.parquet(out).count() == 1
