@@ -192,11 +192,23 @@ Generated {report['generated_at']} by BENCH/scaling.py.
 _PARTS = os.path.join(REPO, "BENCH", ".scale_parts.json")
 
 
+def _config_key() -> str:
+    """The knobs that make piecewise results comparable: results from
+    different SCALE_N / replica settings must never best-of-merge into
+    one report (a x4-replica 'low' wall would permanently beat every
+    x12 attempt and fabricate the efficiency number)."""
+    n = int(os.environ.get("SCALE_N", "8"))
+    return f"n={n};replicas={REPLICAS};ds={DATA_SCALE_REPLICAS}"
+
+
 def _merge_part(key: str, res: dict) -> None:
     parts = {}
     if os.path.exists(_PARTS):
         with open(_PARTS) as f:
             parts = json.load(f)
+    if parts.get("_config") != _config_key():
+        # stale parts from a different sizing: start a fresh ledger
+        parts = {"_config": _config_key()}
     prev = parts.get(key)
     if prev is None or res["wall_sec"] < prev["wall_sec"]:
         parts[key] = res
@@ -223,6 +235,11 @@ def run_piecewise(level: str) -> None:
 def report_from_parts() -> None:
     with open(_PARTS) as f:
         parts = json.load(f)
+    if parts.get("_config") != _config_key():
+        raise SystemExit(
+            f"parts ledger is for {parts.get('_config')!r}, current env is "
+            f"{_config_key()!r} — rerun the levels under one sizing"
+        )
     write_report(parts["low"], parts["high"], parts["data_scale"],
                  os.environ.get("SPARK_GRAFT_SF_DIR",
                                 "/root/testdata/sf0.1"))

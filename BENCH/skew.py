@@ -72,7 +72,8 @@ flat_hot = flat.withColumn("media_ref", hot_ref)
 # one doc with 100x spans: replicate the median-size doc 100 times into
 # a single doc_id with renumbered offsets
 sizes = uniform.select("doc_id", F.size("spans").alias("n"))
-mid = sizes.orderBy("n", "doc_id").collect()[len(sizes.collect()) // 2]
+rows = sizes.orderBy("n", "doc_id").collect()
+mid = rows[len(rows) // 2]
 donor = flat.filter(F.col("doc_id") == mid.doc_id)
 copies = spark.range(100).select(F.col("id").cast("int").alias("copy"))
 heavy = donor.crossJoin(copies).select(

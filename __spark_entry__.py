@@ -98,6 +98,10 @@ _DRIVER_WINDOW = [
     # training (label-filtered top-k; production candidate generator =
     # the LSH/IVF plane)
     "td_sim_hard_negatives",
+    # NEW in round 5: token-budget corpus selection — histogram
+    # threshold (no global sort) vs the oracle's naive running-sum
+    # window: a cross-ALGORITHM oracle
+    "td_token_budget_select",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -118,7 +122,7 @@ _DRIVER_WINDOW = [
     "td_dedup_source_matrix", "td_mm_features",
     "td_event_robust_outliers",
     "td_mc_extract", "td_dedup_clusters",
-    "td_dedup_canonical", "td_pack_sequences",
+    "td_dedup_canonical",
 ]
 
 

@@ -974,3 +974,133 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("source", F.lit("(all)")).alias("source"),
         "gid", "n_docs", "total_tokens", "total_chars", "avg_chars",
     )
+
+
+# ---- token-budget corpus selection (histogram threshold, no global sort) ----
+_TOKEN_BUDGET = 20_000  # whitespace tokens the selected corpus may total
+
+
+def _budget_select_sql() -> str:
+    from .hashing import md5_u16_sql
+
+    u16 = md5_u16_sql("f")
+    # the NAIVE semantics: global (cls_score DESC, doc_id) prefix whose
+    # running token sum stays within budget — the oracle computes it
+    # directly with one global window; the Spark side reproduces the
+    # SAME rows via the histogram-threshold plan (cross-ALGORITHM oracle)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+fe AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+         ) AS feats
+  FROM t WHERE len(toks) > 0),
+sc AS (
+  SELECT doc_id, n_tokens,
+         round(list_sum(list_transform(feats, f -> {u16}))
+               / (len(feats) * 65535.0) * 2.0 - 1.0, 6) AS cls_score
+  FROM fe),
+r AS (
+  SELECT doc_id, n_tokens, cls_score,
+         sum(n_tokens) OVER (
+           ORDER BY cls_score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sc)
+SELECT doc_id, n_tokens, cls_score
+FROM r WHERE cum <= {_TOKEN_BUDGET}"""
+
+
+@_reg("td_token_budget_select", _budget_select_sql())
+def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus selection (the LLaMA-recipe shape: spend a
+    fixed training-token budget on the best documents): keep the
+    prefix of the (cls_score DESC, doc_id) total order whose running
+    whitespace-token sum stays within the budget.
+
+    Scale shape — NO GLOBAL SORT.  The naive semantics is a running
+    sum over a corpus-wide total order (what the DuckDB oracle runs);
+    a global window is a single-task sort at 100 TB.  This plan:
+      1. per-doc (score, tokens): the classifier projection, zero
+         shuffles;
+      2. score histogram: floor(score*1e6) integer grid (scores are
+         6 dp, so the grid is EXACT — every distinct score is its own
+         cell) -> per-cell token totals, ONE combine shuffle of
+         <= |distinct scores| cells;
+      3. threshold: cumulative sum over the tiny histogram (single
+         partition of at most ~2M cells, in practice thousands) finds
+         the boundary cell: cells strictly above keep ALL their docs;
+      4. boundary cell only: a (score, doc_id) window WITHIN the cell
+         spends the remaining budget — state bounded by one cell's
+         population, not the corpus.
+    The union reproduces the oracle's rows exactly because the grid is
+    order-isomorphic to the score (same 6 dp value), so full-cell
+    cumulative totals equal the naive prefix sums at cell boundaries.
+
+    Reference scope: no curation plane in the reference; SURVEY §2
+    extras (training-data toolkit)."""
+    from .hashing import md5_u16_col
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    feats = F.concat(F.col("toks"), bigrams)
+    raw_sum = F.aggregate(
+        F.transform(feats, md5_u16_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(
+        raw_sum / (F.size(feats) * F.lit(65535.0)) * 2.0 - 1.0, 6
+    )
+    scored = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        score.alias("cls_score"),
+        # exact integer grid cell: scores carry 6 dp, so *1e6 is an
+        # integer-valued double; round() guards float representation
+        F.round(score * 1_000_000).cast("long").alias("cell"),
+    )
+
+    cells = scored.groupBy("cell").agg(F.sum("n_tokens").alias("cell_toks"))
+    wc = Window.orderBy(F.col("cell").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cells = cells.withColumn(
+        "cum_before", F.coalesce(F.sum("cell_toks").over(wc), F.lit(0))
+    )
+    # cells whose PRIOR cumulative already exceeds the budget can keep
+    # nothing; a cell fully inside the budget keeps everything; exactly
+    # one boundary cell spends what remains
+    full = cells.filter(
+        F.col("cum_before") + F.col("cell_toks") <= F.lit(_TOKEN_BUDGET)
+    ).select("cell")
+    boundary = cells.filter(
+        (F.col("cum_before") < F.lit(_TOKEN_BUDGET))
+        & (F.col("cum_before") + F.col("cell_toks") > F.lit(_TOKEN_BUDGET))
+    ).select("cell", (F.lit(_TOKEN_BUDGET) - F.col("cum_before")).alias("rem"))
+
+    keep_full = scored.join(F.broadcast(full), "cell").select(
+        "doc_id", "n_tokens", "cls_score"
+    )
+    wb = (
+        Window.partitionBy("cell")
+        .orderBy(F.col("cls_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    keep_part = (
+        scored.join(F.broadcast(boundary), "cell")
+        .withColumn("cum_in_cell", F.sum("n_tokens").over(wb))
+        .filter(F.col("cum_in_cell") <= F.col("rem"))
+        .select("doc_id", "n_tokens", "cls_score")
+    )
+    return keep_full.unionByName(keep_part)

@@ -90,6 +90,23 @@ def _first_iceberg_catalog(spark: SparkSession) -> str:
 _LINEAGE_PROP = "pero-lineage"  # snapshot summary key carrying the row
 
 
+def table_prefix_from_path(prefix: str) -> str:
+    """Map the caller's output_dir (every existing call site passes a
+    FILESYSTEM PATH, e.g. '/tmp/ckpt') onto a valid Iceberg table-name
+    prefix: path separators and other non-identifier characters become
+    underscores, and a leading digit gets a guard prefix — otherwise
+    the seam's CREATE TABLE would be a SQL parse error on exactly the
+    clusters it is meant to upgrade."""
+    import re
+
+    ident = re.sub(r"[^A-Za-z0-9_]+", "_", prefix.strip("/")).strip("_")
+    if not ident:
+        ident = "pero_ckpt"
+    if ident[0].isdigit():
+        ident = "t_" + ident
+    return ident.lower()
+
+
 class IcebergCheckpointedExtractor(CheckpointedExtractor):
     """CheckpointedExtractor whose group commits are native Iceberg
     snapshots.  ``output_dir`` becomes a table-name prefix inside the
@@ -109,8 +126,9 @@ class IcebergCheckpointedExtractor(CheckpointedExtractor):
                 "catalog configured — use the manifest backend"
             )
         catalog = _first_iceberg_catalog(spark)
-        self.spans_table = f"{catalog}.{table_prefix}_spans"
-        self.docs_table = f"{catalog}.{table_prefix}_docs"
+        ident = table_prefix_from_path(table_prefix)
+        self.spans_table = f"{catalog}.{ident}_spans"
+        self.docs_table = f"{catalog}.{ident}_docs"
         # deliberately NOT calling super().__init__: the manifest-dir /
         # n_groups pin lives in table properties here.  output_dir is
         # only used by the inherited _stage_input (the frozen input
@@ -162,17 +180,22 @@ class IcebergCheckpointedExtractor(CheckpointedExtractor):
         return out
 
     def _write_group(self, spark: SparkSession, g: int, res) -> tuple[int, int]:
-        # counts come from the persisted inference result (cheap: one
-        # cached traversal), because Iceberg has no uncommitted staging
-        # area to re-count from
-        span_count = res.spans.count()
+        # The spans write is DEFERRED into _commit_group (the lineage
+        # property must ride the spans snapshot), but the base run loop
+        # unpersists the inference result between the two calls — so
+        # pin the spans frame with its OWN persist and materialize it
+        # now, while the upstream cache is hot.  Without this, the
+        # deferred overwritePartitions would re-execute the entire
+        # extraction (including inference) a second time per group.
+        spans_pinned = res.spans.persist()
+        span_count = spans_pinned.count()
         doc_count = res.docs.count()
         (
             res.docs.withColumn("group_id", F.lit(g).cast("int"))
             .writeTo(self.docs_table)
             .overwritePartitions()
         )
-        self._pending = (g, span_count, doc_count, res.spans)
+        self._pending = (g, span_count, doc_count, spans_pinned)
         return doc_count, span_count
 
     def _commit_group(self, group: int, lineage: dict) -> None:
@@ -187,6 +210,7 @@ class IcebergCheckpointedExtractor(CheckpointedExtractor):
             f"snapshot-property.{_LINEAGE_PROP}", json.dumps(lineage)
         )
         writer.overwritePartitions()
+        spans.unpersist()
         self._pending = None
 
     def _read_committed(

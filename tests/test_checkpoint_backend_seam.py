@@ -77,3 +77,17 @@ def test_iceberg_backend_kill_resume_parity(spark, tmp_path):
         (r.doc_id, r.order, r.text) for r in ck.read_spans(spark).collect()
     }
     assert got == {(f"d{i}", 0, f"t{i}") for i in range(32)}
+
+
+def test_table_prefix_from_path_sanitizes_paths():
+    """'auto' upgrades path-based call sites: the filesystem output_dir
+    must become a parseable Iceberg identifier, never raw '/tmp/x'."""
+    from pero_ocr_api_spark.plans.iceberg_backend import (
+        table_prefix_from_path,
+    )
+
+    assert table_prefix_from_path("/tmp/ckpt") == "tmp_ckpt"
+    assert table_prefix_from_path("/data/run-5/out.dir") == "data_run_5_out_dir"
+    assert table_prefix_from_path("Already_Fine") == "already_fine"
+    assert table_prefix_from_path("123/x") == "t_123_x"
+    assert table_prefix_from_path("///") == "pero_ckpt"

@@ -766,3 +766,29 @@ def test_corpus_report_rollup_consistency(spark, sf_smoke):
             assert sub[m] == sum(c[m] for c in mine), (lang, m)
     for m in ("n_docs", "total_tokens", "total_chars"):
         assert total[0][m] == sum(s[m] for s in subs.values())
+
+
+def test_token_budget_select_boundary_semantics(spark):
+    """td_token_budget_select on a pinned fixture: the kept set is the
+    exact (cls_score DESC, doc_id) prefix whose running token sum stays
+    within budget — including when the budget boundary falls INSIDE a
+    score cell (partial-cell spend) and between tied scores (doc_id
+    tiebreak)."""
+    import pero_ocr_api_spark.functions.text as _t
+    from pero_ocr_api_spark.functions.text import q_token_budget_select
+
+    # identical text -> identical cls_score; budget lands mid-tie-group
+    same = "alpha beta gamma delta " * 5  # 20 tokens per doc
+    docs = spark.createDataFrame(
+        [(i, same.strip(), "en", "s", len(same)) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig_load, orig_budget = _t.load_table, _t._TOKEN_BUDGET
+    _t.load_table = lambda _s, _sf, _n: docs
+    _t._TOKEN_BUDGET = 70  # 3 docs of 20 fit; the 4th would make 80
+    try:
+        kept = sorted(r["doc_id"] for r in q_token_budget_select(spark, "_").collect())
+    finally:
+        _t.load_table, _t._TOKEN_BUDGET = orig_load, orig_budget
+    # all scores tie -> doc_id ascending is the total order
+    assert kept == [0, 1, 2]
