@@ -102,6 +102,8 @@ _DRIVER_WINDOW = [
     # threshold (no global sort) vs the oracle's naive running-sum
     # window: a cross-ALGORITHM oracle
     "td_token_budget_select",
+    # NEW in round 5: corpus snapshot diff (dataset-versioning report)
+    "td_corpus_diff",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -122,7 +124,6 @@ _DRIVER_WINDOW = [
     "td_dedup_source_matrix", "td_mm_features",
     "td_event_robust_outliers",
     "td_mc_extract", "td_dedup_clusters",
-    "td_dedup_canonical",
 ]
 
 
