@@ -99,17 +99,23 @@ def test_ann_recall_vs_bruteforce(spark, sf_smoke):
     truth = topk_sets(SIM["td_sim_bruteforce_topk"][0](spark, sf_smoke))
     ivf = topk_sets(SIM["td_sim_ivf_topk"][0](spark, sf_smoke))
     lsh = topk_sets(SIM["td_sim_ann_lsh_topk"][0](spark, sf_smoke))
+    mp = topk_sets(SIM["td_sim_lsh_multiprobe"][0](spark, sf_smoke))
 
     def recall(approx):
         hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
         total = sum(len(t) for t in truth.values())
         return hits / total
 
-    r_ivf, r_lsh = recall(ivf), recall(lsh)
-    print(f"recall@{TOP_K}: ivf={r_ivf:.2f} lsh={r_lsh:.2f}")
+    r_ivf, r_lsh, r_mp = recall(ivf), recall(lsh), recall(mp)
+    print(f"recall@{TOP_K}: ivf={r_ivf:.2f} lsh={r_lsh:.2f} mp={r_mp:.2f}")
     assert r_ivf >= 0.5, r_ivf
+    # multi-probe may only WIDEN the candidate set (own bucket is one
+    # of the probes), so its recall can never fall below single-bucket
+    assert r_mp >= r_lsh, (r_mp, r_lsh)
+    for q, ns in lsh.items():
+        assert ns <= mp.get(q, set())  # superset per query
     # every ANN neighbor must at least be a real vector, never the query
-    for q, ns in {**ivf, **lsh}.items():
+    for q, ns in {**ivf, **lsh, **mp}.items():
         assert q not in ns
 
 
