@@ -206,9 +206,15 @@ def _merge_part(key: str, res: dict) -> None:
     if os.path.exists(_PARTS):
         with open(_PARTS) as f:
             parts = json.load(f)
-    if parts.get("_config") != _config_key():
-        # stale parts from a different sizing: start a fresh ledger
-        parts = {"_config": _config_key()}
+    if parts and parts.get("_config") != _config_key():
+        # refuse, never wipe: the ledger may hold hours of runs under
+        # the other sizing — make the operator choose explicitly
+        raise SystemExit(
+            f"parts ledger at {_PARTS} is for "
+            f"{parts.get('_config')!r}, current env is {_config_key()!r} "
+            "— delete the ledger or rerun under the recorded sizing"
+        )
+    parts.setdefault("_config", _config_key())
     prev = parts.get(key)
     if prev is None or res["wall_sec"] < prev["wall_sec"]:
         parts[key] = res

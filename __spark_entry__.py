@@ -107,6 +107,9 @@ _DRIVER_WINDOW = [
     # NEW in round 5: multi-probe LSH ANN (Hamming-1 probes, 4x recall
     # for 9x bucket-occupancy candidates; closes the README boundary)
     "td_sim_lsh_multiprobe",
+    # NEW in round 5: dedup-AWARE train/val/test split (split hash on
+    # the near-dup cluster key -> no train/test near-dup leakage)
+    "td_split_leakage_safe",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -126,7 +129,6 @@ _DRIVER_WINDOW = [
     "td_emb_dim_stats", "td_curation_gumbel_sample",
     "td_dedup_source_matrix", "td_mm_features",
     "td_event_robust_outliers",
-    "td_mc_extract",
 ]
 
 

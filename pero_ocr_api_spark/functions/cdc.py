@@ -296,8 +296,13 @@ def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     docs = load_table(spark, sf, "documents")
+    # presence must come from dedicated flags, NOT fingerprint nullness:
+    # md5(NULL text) is NULL, so fp-IS-NULL would misread a NULL-text
+    # doc present on one side as absent (the oracle checks the side's
+    # doc_id) — a latent cross-engine divergence on NULL-text corpora
     cur = docs.filter(bucket("del") >= 16).select(
-        "doc_id", "source", F.md5("text").alias("fp")
+        "doc_id", "source", F.md5("text").alias("fp"),
+        F.lit(True).alias("in_cur"),
     )
     prev = docs.filter(bucket("prev") >= 24).select(
         "doc_id",
@@ -305,11 +310,12 @@ def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
         F.when(
             bucket("mut") < 24, F.md5(F.concat(F.lit("OLD:"), F.col("text")))
         ).otherwise(F.md5("text")).alias("p_fp"),
+        F.lit(True).alias("in_prev"),
     )
     j = cur.join(prev, "doc_id", "full_outer")
     status = (
-        F.when(F.col("p_fp").isNull(), "added")
-        .when(F.col("fp").isNull(), "removed")
+        F.when(F.col("in_prev").isNull(), "added")
+        .when(F.col("in_cur").isNull(), "removed")
         .when(F.col("fp") != F.col("p_fp"), "changed")
         .otherwise("unchanged")
     )

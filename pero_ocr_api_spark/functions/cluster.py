@@ -154,3 +154,64 @@ def q_canonical(spark: SparkSession, sf: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+def _leakage_safe_split_sql() -> str:
+    from .hashing import md5_byte_sql
+
+    b = md5_byte_sql("CAST(split_key AS VARCHAR)")
+    return f"""WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+clusters AS (
+  SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+SELECT doc_id, split_key,
+       CASE WHEN {b} < 205 THEN 'train'
+            WHEN {b} < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed"""
+
+
+@_reg("td_split_leakage_safe", _leakage_safe_split_sql())
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: the split hash is keyed on a
+    document's near-dup CLUSTER id (its own id for singletons), so two
+    near-duplicates can never land on opposite sides of the train/test
+    boundary — the leakage td_corpus_split's per-doc hash permits and
+    the decontamination literature flags (near-dups of heldout text in
+    train inflate eval).  Same 205/25/26 md5-byte waterfall as
+    td_corpus_split, applied to the cluster key.
+
+    Scale shape: the cluster relation is corpus-SUBLINEAR (only docs
+    appearing in a near-dup pair; the iterative component step is the
+    documented td_dedup_clusters plan), the left join back to
+    documents is a plain equi-join on doc_id (shuffle-free on the
+    bucketed layout), and the split itself is per-row codegen.
+
+    Reference scope: SURVEY §2 extras (training-data toolkit; composes
+    the dedup plane with the curation plane)."""
+    from ..session import load_table
+    from .hashing import md5_byte_col
+
+    docs = load_table(spark, sf, "documents")
+    pairs = q_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    clusters = connected_components(pairs)
+    keyed = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("split_key"),
+    )
+    b = md5_byte_col(F.col("split_key").cast("string"))
+    split = (
+        F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    )
+    return keyed.select("doc_id", "split_key", split.alias("split"))

@@ -1069,7 +1069,11 @@ def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
         # exact integer grid cell: scores carry 6 dp, so *1e6 is an
         # integer-valued double; round() guards float representation
         F.round(score * 1_000_000).cast("long").alias("cell"),
-    )
+    # the scoring scan (md5 per unigram+bigram feature) is the whole
+    # cost of this query and feeds FOUR subtrees (cells agg reused by
+    # full + boundary, and both keep-side probes) — materialize it once
+    # (the dedup plane's localCheckpoint idiom) instead of 4 rescans
+    ).localCheckpoint()
 
     cells = scored.groupBy("cell").agg(F.sum("n_tokens").alias("cell_toks"))
     wc = Window.orderBy(F.col("cell").desc()).rowsBetween(

@@ -96,7 +96,12 @@ def table_prefix_from_path(prefix: str) -> str:
     prefix: path separators and other non-identifier characters become
     underscores, and a leading digit gets a guard prefix — otherwise
     the seam's CREATE TABLE would be a SQL parse error on exactly the
-    clusters it is meant to upgrade."""
+    clusters it is meant to upgrade.  The readable stem alone is
+    many-to-one ('/data/run.5' and '/data/run_5' collapse together, and
+    a second run would silently see the first's committed groups), so
+    a short md5 of the ORIGINAL prefix is appended: distinct
+    output_dirs always get distinct tables."""
+    import hashlib
     import re
 
     ident = re.sub(r"[^A-Za-z0-9_]+", "_", prefix.strip("/")).strip("_")
@@ -104,7 +109,8 @@ def table_prefix_from_path(prefix: str) -> str:
         ident = "pero_ckpt"
     if ident[0].isdigit():
         ident = "t_" + ident
-    return ident.lower()
+    tag = hashlib.md5(prefix.encode()).hexdigest()[:6]
+    return f"{ident.lower()}_{tag}"
 
 
 class IcebergCheckpointedExtractor(CheckpointedExtractor):

@@ -140,8 +140,12 @@ def _read_frontier(path: str) -> dict | None:
 
 def _advance_frontier(path: str, off: dict) -> None:
     """Monotonically advance the persisted frontier to cover ``off``
-    (atomic: tmp + rename).  Same-mtime name sets merge so concurrent
-    planners can only widen coverage, never shrink it."""
+    (crash-atomic: tmp + rename).  Single-writer contract — one
+    streaming query per inbox, the same contract the checkpoint plane
+    pins: the read-merge-write is not a CAS, so two concurrent queries
+    planning over one inbox could each persist a same-mtime name set
+    missing the other's names.  (Their own Spark checkpoints stay
+    correct either way; only the restart-seed could lose a name.)"""
     import json
 
     cur = _read_frontier(path)
@@ -175,7 +179,7 @@ class UploadStreamReader(DataSourceStreamReader):
     at that exact mtime — O(files-per-timestamp) state, not O(files),
     and immune to position shifts from deletions or mtime ties."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, reset_frontier: bool = False):
         self.path = path
         # latestOffset monotonicity guard.  Seeded from the persisted
         # frontier sidecar: an in-memory-only guard resets on query
@@ -183,6 +187,18 @@ class UploadStreamReader(DataSourceStreamReader):
         # emit an offset below the checkpointed frontier — a re-landed
         # old file (mv preserves mtime; the reference re-uploads failed
         # requests under the same name) would be read twice.
+        #
+        # The sidecar is deliberately PER-INBOX, not per-checkpoint:
+        # an upload processed once is processed (the reference never
+        # re-OCRs a request), so a brand-new query over a used inbox
+        # continues rather than reprocessing.  To genuinely reprocess,
+        # pass .option("resetFrontier", "true") (deletes the sidecar)
+        # — or point the new pipeline at a fresh inbox.
+        if reset_frontier:
+            try:
+                os.remove(os.path.join(path, _FRONTIER_NAME))
+            except FileNotFoundError:
+                pass
         self._last: dict | None = _read_frontier(path)
 
     def initialOffset(self) -> dict:
@@ -251,7 +267,10 @@ class UploadDataSource(DataSource):
         return UploadBatchReader(self.options["path"])
 
     def streamReader(self, schema: StructType) -> UploadStreamReader:
-        return UploadStreamReader(self.options["path"])
+        reset = str(
+            self.options.get("resetFrontier", "false")
+        ).lower() in ("true", "1", "yes")
+        return UploadStreamReader(self.options["path"], reset_frontier=reset)
 
 
 def register_upload_source(spark) -> None:

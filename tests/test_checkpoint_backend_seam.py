@@ -86,8 +86,22 @@ def test_table_prefix_from_path_sanitizes_paths():
         table_prefix_from_path,
     )
 
-    assert table_prefix_from_path("/tmp/ckpt") == "tmp_ckpt"
-    assert table_prefix_from_path("/data/run-5/out.dir") == "data_run_5_out_dir"
-    assert table_prefix_from_path("Already_Fine") == "already_fine"
-    assert table_prefix_from_path("123/x") == "t_123_x"
-    assert table_prefix_from_path("///") == "pero_ckpt"
+    import re
+
+    for raw, stem in [
+        ("/tmp/ckpt", "tmp_ckpt"),
+        ("/data/run-5/out.dir", "data_run_5_out_dir"),
+        ("Already_Fine", "already_fine"),
+        ("123/x", "t_123_x"),
+        ("///", "pero_ckpt"),
+    ]:
+        got = table_prefix_from_path(raw)
+        assert re.fullmatch(re.escape(stem) + r"_[0-9a-f]{6}", got), got
+    # the hash tag makes the mapping injective where the stem is not:
+    # distinct output_dirs must never share Iceberg tables
+    assert (
+        table_prefix_from_path("/data/run.5")
+        != table_prefix_from_path("/data/run_5")
+    )
+    # and deterministic
+    assert table_prefix_from_path("/tmp/ckpt") == table_prefix_from_path("/tmp/ckpt")

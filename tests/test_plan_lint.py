@@ -10,7 +10,11 @@ import __spark_entry__ as entry_mod
 
 # Iterative queries run eagerly at plan-build time (localCheckpoint
 # loop); their components are linted via their own tests instead.
-_EAGER = {"td_dedup_clusters", "td_dedup_canonical"}
+_EAGER = {
+    "td_dedup_clusters", "td_dedup_canonical", "td_split_leakage_safe",
+    # localCheckpoint at plan-build (single materialized scoring scan)
+    "td_token_budget_select",
+}
 
 # BroadcastNestedLoopJoin is only acceptable when one side is a
 # provably tiny relation (a single-row aggregate or a fixed candidate
