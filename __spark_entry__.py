@@ -110,6 +110,9 @@ _DRIVER_WINDOW = [
     # NEW in round 5: dedup-AWARE train/val/test split (split hash on
     # the near-dup cluster key -> no train/test near-dup leakage)
     "td_split_leakage_safe",
+    # NEW in round 5: inverted-index build (postings lists; the sparse
+    # counterpart of the ANN index-build plane)
+    "td_text_postings",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -128,7 +131,6 @@ _DRIVER_WINDOW = [
     "td_event_cooccurrence", "td_dedup_tfidf_cosine",
     "td_emb_dim_stats", "td_curation_gumbel_sample",
     "td_dedup_source_matrix", "td_mm_features",
-    "td_event_robust_outliers",
 ]
 
 

@@ -1108,3 +1108,56 @@ def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_tokens", "cls_score")
     )
     return keep_full.unionByName(keep_part)
+
+
+# ---- inverted index build (postings lists) ----
+_POSTINGS_HEAD = 10  # doc ids materialized per term in the report
+
+
+@_reg(
+    "td_text_postings",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM tok GROUP BY term, doc_id)
+SELECT term,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       array_to_string(
+         list_sort(list(doc_id))[1:{_POSTINGS_HEAD}], ',') AS postings_head
+FROM tf GROUP BY term""",
+)
+def q_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction — the build step BM25 scoring
+    (td_text_bm25) consumes: per term, document frequency, total term
+    frequency, and the head of the postings list (first
+    {_POSTINGS_HEAD} doc ids ascending, joined to a string so the
+    driver's value hash covers it byte-for-byte).
+
+    Scale shape: explode -> (term, doc_id) partial-count combine (the
+    big shuffle, on the high-cardinality composite key) -> per-term
+    aggregate.  The full postings list at 100 TB is NOT collect_list'd
+    into one row: the production layout keeps the (term, doc_id, tf)
+    relation itself, bucketed by term (plans/bucketing.py), and query-
+    time term lookups are shuffle-free bucket probes; only this
+    REPORT's fixed-size head materializes per-term arrays.
+
+    Reference scope: SURVEY §2 extras (sparse-retrieval counterpart of
+    the ANN index-build plane)."""
+    docs = load_table(spark, sf, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTINGS_HEAD),
+            ",",
+        ).alias("postings_head"),
+    )

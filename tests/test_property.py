@@ -228,3 +228,54 @@ def test_chunking_coverage_property(spark, lengths, chunk, overlap_frac):
             if overlap and k + 1 in chunks and len(chunks[k + 1]) >= overlap:
                 assert toks[-overlap:] == chunks[k + 1][:overlap]
         assert covered == {f"w{j}" for j in range(n)}, (n, chunk, overlap)
+
+
+# ---- cross-engine fuzz: random corpora through the REAL parity gate ----
+_doc_text = st.one_of(
+    st.none(),
+    st.text(alphabet=list("abcdefgh "), max_size=60),
+)
+
+
+@settings(
+    max_examples=int(os.environ.get("PROPERTY_MAX_EXAMPLES", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=30),
+    data=st.data(),
+)
+def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
+    """The round-5 ops' Spark/DuckDB twins must agree on ARBITRARY
+    small corpora, not just the frozen testdata: random texts (incl.
+    NULLs, empties, whitespace runs, dup-heavy samples) land in a tmp
+    parquet dir and each op runs through the real run_pair gate."""
+    from pero_ocr_api_spark.compare import run_pair
+    from pero_ocr_api_spark.functions.cdc import REGISTRY as CDC
+    from pero_ocr_api_spark.functions.text import REGISTRY as TXT
+
+    rows = []
+    for i, t in enumerate(texts):
+        # bias toward duplicate content so diff/cluster paths light up
+        if t is not None and data.draw(st.booleans(), label=f"dup{i}"):
+            t = texts[0] if texts[0] is not None else t
+        rows.append(
+            (i, t, "en", f"s{i % 3}", 0 if t is None else len(t))
+        )
+    d = tmp_path_factory.mktemp("fuzz")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    for name, reg in [
+        ("td_text_hash_classifier", TXT),
+        ("td_corpus_report", TXT),
+        ("td_token_budget_select", TXT),
+        ("td_text_postings", TXT),
+        ("td_corpus_diff", CDC),
+    ]:
+        fn, sql = reg[name]
+        errs = run_pair(spark, str(d), fn, sql)
+        assert errs == [], (name, errs, rows)
