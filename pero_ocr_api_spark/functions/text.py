@@ -1133,17 +1133,19 @@ FROM tf GROUP BY term""",
 def q_postings(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index construction — the build step BM25 scoring
     (td_text_bm25) consumes: per term, document frequency, total term
-    frequency, and the head of the postings list (first
-    {_POSTINGS_HEAD} doc ids ascending, joined to a string so the
-    driver's value hash covers it byte-for-byte).
+    frequency, and the head of the postings list (first 10 doc
+    ids ascending, joined to a string so the driver's value hash covers
+    it byte-for-byte).
 
     Scale shape: explode -> (term, doc_id) partial-count combine (the
-    big shuffle, on the high-cardinality composite key) -> per-term
-    aggregate.  The full postings list at 100 TB is NOT collect_list'd
-    into one row: the production layout keeps the (term, doc_id, tf)
-    relation itself, bucketed by term (plans/bucketing.py), and query-
-    time term lookups are shuffle-free bucket probes; only this
-    REPORT's fixed-size head materializes per-term arrays.
+    big shuffle, on the high-cardinality composite key) -> a rank
+    window + per-term aggregate sharing that same term partitioning.
+    The head is BOUNDED before collection (rank <= head, collect_list
+    skips the NULLs the filter leaves), so a stopword-grade term with
+    df in the millions costs O(head) aggregation state, not O(df);
+    the production layout additionally keeps the raw (term, doc_id,
+    tf) relation bucketed by term (plans/bucketing.py) so query-time
+    term lookups are shuffle-free bucket probes.
 
     Reference scope: SURVEY §2 extras (sparse-retrieval counterpart of
     the ANN index-build plane)."""
@@ -1153,11 +1155,23 @@ def q_postings(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
+    # BOUNDED head: rank doc_ids within the term FIRST and collect only
+    # rank <= head — a stopword-grade term with df in the millions must
+    # never materialize its full posting array in one aggregation
+    # buffer (collect_list ignores the NULLs the rank filter leaves).
+    # The rank window and the aggregate share the term hash
+    # partitioning, so this adds no extra exchange.
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    tf = tf.withColumn("rn", F.row_number().over(w))
     return tf.groupBy("term").agg(
         F.count("*").alias("df"),
         F.sum("tf").cast("long").alias("tf_total"),
         F.array_join(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTINGS_HEAD),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= _POSTINGS_HEAD, F.col("doc_id"))
+                )
+            ),
             ",",
         ).alias("postings_head"),
     )
