@@ -113,6 +113,9 @@ _DRIVER_WINDOW = [
     # NEW in round 5: inverted-index build (postings lists; the sparse
     # counterpart of the ANN index-build plane)
     "td_text_postings",
+    # NEW in round 5: the whole-engine curation funnel report (raw ->
+    # nonempty -> quality gate -> classifier gate -> dedup canonical)
+    "td_curation_funnel",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -130,7 +133,7 @@ _DRIVER_WINDOW = [
     "td_sim_ivfpq_search", "td_profile_key_skew",
     "td_event_cooccurrence", "td_dedup_tfidf_cosine",
     "td_emb_dim_stats", "td_curation_gumbel_sample",
-    "td_dedup_source_matrix", "td_mm_features",
+    "td_dedup_source_matrix",
 ]
 
 

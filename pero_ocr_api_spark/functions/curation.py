@@ -541,3 +541,177 @@ def q_gumbel_sample(spark: SparkSession, sf: str) -> DataFrame:
     return gumbel_topk(
         docs, F.log(F.col("n_chars").cast("double")), GUMBEL_N
     )
+
+
+# ---- curation funnel: the whole-engine summary table ----
+def _funnel_sql() -> str:
+    from .text import _SW_SQL
+    from .hashing import md5_u16_sql
+    from .dedup import NGRAM_JACCARD_SQL
+
+    u16 = md5_u16_sql("f")
+    return f"""WITH RECURSIVE t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+q AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         (len(toks) > 0) AS nonempty,
+         (len(toks) >= 10 AND len(toks) <= 1000
+          AND round(len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+                    / CAST(greatest(len(toks), 1) AS DOUBLE), 6) >= 0.01
+          AND round(n_chars / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+              <= 12.0) AS q_ok,
+         CASE WHEN len(toks) = 0 THEN FALSE ELSE
+           round(list_sum(list_transform(
+                   list_concat(toks,
+                     [toks[i] || ' ' || toks[i+1]
+                      FOR i IN range(1, len(toks))]), f -> {u16}))
+                 / ((2 * len(toks) - 1) * 65535.0) * 2.0 - 1.0, 6) >= 0.0
+         END AS cls_ok
+  FROM t),
+pairs AS ({NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+clusters AS (SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id),
+canon AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) = 1
+           AS is_canon
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+flags AS (
+  SELECT q.*,
+         (q.nonempty AND q.q_ok) AS s_quality,
+         (q.nonempty AND q.q_ok AND q.cls_ok) AS s_cls,
+         (q.nonempty AND q.q_ok AND q.cls_ok
+          AND (cn.doc_id IS NULL OR cn.is_canon)) AS s_canon
+  FROM q LEFT JOIN canon cn ON cn.doc_id = q.doc_id),
+agg AS (
+  SELECT count(*) AS d1, CAST(sum(n_toks) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN nonempty THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN s_quality THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(CASE WHEN s_quality THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+         CAST(sum(CASE WHEN s_cls THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         CAST(sum(CASE WHEN s_cls THEN n_toks ELSE 0 END) AS BIGINT) AS t4,
+         CAST(sum(CASE WHEN s_canon THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+         CAST(sum(CASE WHEN s_canon THEN n_toks ELSE 0 END) AS BIGINT) AS t5
+  FROM flags)
+SELECT CAST(1 AS INT) AS stage_idx, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM agg
+UNION ALL SELECT 2, 'nonempty', d2, t2 FROM agg
+UNION ALL SELECT 3, 'quality_gate', d3, t3 FROM agg
+UNION ALL SELECT 4, 'classifier_gate', d4, t4 FROM agg
+UNION ALL SELECT 5, 'dedup_canonical', d5, t5 FROM agg"""
+
+
+@_reg("td_curation_funnel", _funnel_sql())
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole-engine summary table — docs and tokens surviving each
+    cumulative curation stage: raw -> nonempty -> C4-style quality gate
+    (td_corpus_filter's exact predicate) -> hashed-classifier gate
+    (td_text_hash_classifier; keep_prob >= 0.5 is EXACTLY cls_score >=
+    0 at 6 dp, so neither engine evaluates exp in the gate) -> dedup
+    canonical (non-clustered docs plus each near-dup cluster's
+    longest-then-min-id member, td_dedup_canonical's selection).
+    The one table a data-release review reads first.
+
+    Scale shape: one pass computes every per-doc flag (all codegen;
+    the classifier sum is the exact-integer discipline), the corpus-
+    SUBLINEAR cluster relation left-joins back on doc_id, and ALL five
+    stages aggregate in a single combine-shuffled pass (conditional
+    sums), unpivoted to rows by stack() — the funnel costs one
+    aggregate regardless of stage count.
+
+    Reference scope: SURVEY §2 extras (composes the quality, dedup and
+    curation planes)."""
+    from pyspark.sql import Window as W
+
+    from .cluster import connected_components
+    from .dedup import q_ngram_jaccard
+    from .hashing import md5_u16_col
+    from .text import STOPWORDS, tokens_col
+
+    docs = load_table(spark, sf, "documents")
+    toks = tokens_col()
+    base = docs.select("doc_id", "n_chars", toks.alias("toks"))
+    n = F.size("toks")
+    g1 = F.greatest(n, F.lit(1))
+    sw = F.size(
+        F.filter(
+            "toks",
+            lambda t: F.array_contains(
+                F.array(*[F.lit(w) for w in STOPWORDS]), t
+            ),
+        )
+    )
+    swr = F.round(sw / g1.cast("double"), 6)
+    cpt = F.round(F.col("n_chars") / g1.cast("double"), 6)
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    feats = F.concat(F.col("toks"), bigrams)
+    raw_sum = F.aggregate(
+        F.transform(feats, md5_u16_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(
+        raw_sum / ((2 * n - 1) * F.lit(65535.0)) * 2.0 - 1.0, 6
+    )
+    flags = base.select(
+        "doc_id",
+        n.alias("n_toks"),
+        (n > 0).alias("nonempty"),
+        (
+            (n >= 10) & (n <= 1000) & (swr >= 0.01) & (cpt <= 12.0)
+        ).alias("q_ok"),
+        F.when(n == 0, F.lit(False)).otherwise(score >= 0.0).alias("cls_ok"),
+    )
+    clusters = connected_components(
+        q_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    )
+    wc = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    canon = (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("is_canon", F.row_number().over(wc) == 1)
+        .select("doc_id", "is_canon")
+    )
+    f2 = flags.join(canon, "doc_id", "left").select(
+        "n_toks", "nonempty", "q_ok", "cls_ok",
+        (
+            F.col("nonempty") & F.col("q_ok") & F.col("cls_ok")
+            & (F.col("is_canon").isNull() | F.col("is_canon"))
+        ).alias("s_canon"),
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def tok(cond):
+        return F.sum(F.when(cond, F.col("n_toks")).otherwise(0)).cast("long")
+
+    s_q = F.col("nonempty") & F.col("q_ok")
+    s_c = s_q & F.col("cls_ok")
+    agg = f2.agg(
+        F.count("*").alias("d1"), F.sum("n_toks").cast("long").alias("t1"),
+        cnt(F.col("nonempty")).alias("d2"), tok(F.col("nonempty")).alias("t2"),
+        cnt(s_q).alias("d3"), tok(s_q).alias("t3"),
+        cnt(s_c).alias("d4"), tok(s_c).alias("t4"),
+        cnt(F.col("s_canon")).alias("d5"), tok(F.col("s_canon")).alias("t5"),
+    )
+    return agg.selectExpr(
+        "stack(5, 1, 'raw', d1, t1, 2, 'nonempty', d2, t2,"
+        " 3, 'quality_gate', d3, t3, 4, 'classifier_gate', d4, t4,"
+        " 5, 'dedup_canonical', d5, t5)"
+        " AS (stage_idx, stage, n_docs, n_tokens)"
+    )

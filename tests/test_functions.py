@@ -851,3 +851,25 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_smoke):
     assert all(len(v) == 1 for v in by_cluster.values()), by_cluster
     # and the waterfall still produces all three splits corpus-wide
     assert set(split.values()) == {"train", "val", "test"}
+
+
+def test_curation_funnel_is_monotone(spark, sf_smoke):
+    """Cumulative stages can only shrink: docs and tokens must be
+    non-increasing down the funnel, raw must cover the whole corpus,
+    and every stage row is present exactly once in order."""
+    from pero_ocr_api_spark.functions.curation import REGISTRY
+    from pero_ocr_api_spark.session import load_table
+
+    rows = sorted(
+        REGISTRY["td_curation_funnel"][0](spark, sf_smoke).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "nonempty", "quality_gate", "classifier_gate",
+        "dedup_canonical",
+    ]
+    assert rows[0]["n_docs"] == load_table(spark, sf_smoke, "documents").count()
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    assert rows[-1]["n_docs"] > 0  # the funnel keeps something

@@ -12,6 +12,7 @@ import __spark_entry__ as entry_mod
 # loop); their components are linted via their own tests instead.
 _EAGER = {
     "td_dedup_clusters", "td_dedup_canonical", "td_split_leakage_safe",
+    "td_curation_funnel",
     # localCheckpoint at plan-build (single materialized scoring scan)
     "td_token_budget_select",
 }
