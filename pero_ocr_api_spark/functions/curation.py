@@ -631,10 +631,7 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
     Reference scope: SURVEY §2 extras (composes the quality, dedup and
     curation planes)."""
-    from pyspark.sql import Window as W
-
-    from .cluster import connected_components
-    from .dedup import q_ngram_jaccard
+    from .cluster import q_clusters
     from .hashing import md5_u16_col
     from .text import STOPWORDS, tokens_col
 
@@ -675,10 +672,10 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("q_ok"),
         F.when(n == 0, F.lit(False)).otherwise(score >= 0.0).alias("cls_ok"),
     )
-    clusters = connected_components(
-        q_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
-    )
-    wc = W.partitionBy("cluster_id").orderBy(
+    # the SAME cluster relation td_dedup_clusters registers — never a
+    # re-inlined copy that could drift from the dedup plane
+    clusters = q_clusters(spark, sf)
+    wc = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     canon = (

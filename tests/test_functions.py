@@ -873,3 +873,45 @@ def test_curation_funnel_is_monotone(spark, sf_smoke):
         assert b["n_docs"] <= a["n_docs"]
         assert b["n_tokens"] <= a["n_tokens"]
     assert rows[-1]["n_docs"] > 0  # the funnel keeps something
+
+
+def test_curation_funnel_matches_source_ops(spark, sf_smoke):
+    """The funnel's stage predicates are hand-inlined copies of
+    td_corpus_filter, td_text_hash_classifier and td_dedup_canonical —
+    this pins the docstring's exactness promise so an edit to any
+    source op cannot silently desynchronize the funnel's counts."""
+    from pero_ocr_api_spark.functions.cluster import REGISTRY as CL
+    from pero_ocr_api_spark.functions.curation import REGISTRY as CUR
+    from pero_ocr_api_spark.functions.text import REGISTRY as TXT
+
+    rows = {
+        r["stage"]: r
+        for r in CUR["td_curation_funnel"][0](spark, sf_smoke).collect()
+    }
+    quality_keep = {
+        r["doc_id"]
+        for r in TXT["td_corpus_filter"][0](spark, sf_smoke).collect()
+        if r["keep"]
+    }
+    assert rows["quality_gate"]["n_docs"] == len(quality_keep)
+
+    cls_keep = {
+        r["doc_id"]
+        for r in TXT["td_text_hash_classifier"][0](spark, sf_smoke).collect()
+        if r["keep"]
+    }
+    assert rows["classifier_gate"]["n_docs"] == len(quality_keep & cls_keep)
+
+    clustered = {
+        r["doc_id"]
+        for r in CL["td_dedup_clusters"][0](spark, sf_smoke).collect()
+    }
+    canon = {
+        r["canonical_doc"]
+        for r in CL["td_dedup_canonical"][0](spark, sf_smoke).collect()
+    }
+    survivors = {
+        d for d in (quality_keep & cls_keep)
+        if d not in clustered or d in canon
+    }
+    assert rows["dedup_canonical"]["n_docs"] == len(survivors)

@@ -261,6 +261,7 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
     parquet dir and each op runs through the real run_pair gate."""
     from pero_ocr_api_spark.compare import run_pair
     from pero_ocr_api_spark.functions.cdc import REGISTRY as CDC
+    from pero_ocr_api_spark.functions.curation import REGISTRY as CUR
     from pero_ocr_api_spark.functions.text import REGISTRY as TXT
 
     rows = []
@@ -283,6 +284,7 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
         ("td_token_budget_select", TXT),
         ("td_text_postings", TXT),
         ("td_corpus_diff", CDC),
+        ("td_curation_funnel", CUR),
     ]:
         fn, sql = reg[name]
         errs = run_pair(spark, str(d), fn, sql)
