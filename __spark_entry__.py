@@ -133,7 +133,12 @@ _DRIVER_WINDOW = [
     "td_sim_ivfpq_search", "td_profile_key_skew",
     "td_event_cooccurrence", "td_dedup_tfidf_cosine",
     "td_emb_dim_stats", "td_curation_gumbel_sample",
-    "td_dedup_source_matrix",
+    # touched in round 5 (fuzz-gate find): the exact-dedup oracle now
+    # mirrors Spark's empty-vs-NULL fingerprint semantics
+    # (array_to_string([]) is NULL in DuckDB, array_join([]) is '' in
+    # Spark) — re-record it; td_dedup_source_matrix (r04-green,
+    # untouched) is the evicted fill entry
+    "td_dedup_exact",
 ]
 
 

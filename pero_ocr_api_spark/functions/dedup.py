@@ -33,9 +33,14 @@ REGISTRY, _reg = make_registry()
     "td_dedup_exact",
     """WITH t AS (
          SELECT doc_id,
-                md5(array_to_string(
-                  list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8),
-                  ' ')) AS fp
+                -- DuckDB's array_to_string([]) is NULL where Spark's
+                -- array_join([]) is '': coalesce so an all-whitespace
+                -- text fingerprints as md5('') on both engines, while
+                -- NULL text stays NULL on both.
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE md5(coalesce(array_to_string(
+                       list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8),
+                       ' '), '')) END AS fp
          FROM documents),
        g AS (SELECT fp, count(*) AS sz FROM t GROUP BY fp)
        SELECT sz AS group_size, count(*) AS n_groups

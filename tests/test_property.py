@@ -278,14 +278,99 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
 
+    from pero_ocr_api_spark.functions.cluster import REGISTRY as CL
+    from pero_ocr_api_spark.functions.dedup import REGISTRY as DD
+
     for name, reg in [
+        # round-5 ops
         ("td_text_hash_classifier", TXT),
         ("td_corpus_report", TXT),
         ("td_token_budget_select", TXT),
         ("td_text_postings", TXT),
         ("td_corpus_diff", CDC),
         ("td_curation_funnel", CUR),
+        # established documents-table ops: random corpora harden the
+        # whole text/dedup plane, not just this round's additions
+        ("td_text_tokens", TXT),
+        ("td_text_quality", TXT),
+        ("td_text_langid", TXT),
+        ("td_text_fingerprint", TXT),
+        ("td_text_vocab", TXT),
+        ("td_corpus_filter", TXT),
+        ("td_corpus_split", TXT),
+        ("td_text_repetition", TXT),
+        ("td_text_novelty", TXT),
+        ("td_dedup_exact", DD),
+        ("td_dedup_ngram_jaccard", DD),
+        ("td_dedup_simhash", DD),
+        ("td_dedup_clusters", CL),
     ]:
         fn, sql = reg[name]
+        errs = run_pair(spark, str(d), fn, sql)
+        assert errs == [], (name, errs, rows)
+
+
+_event_type = st.sampled_from(["signup", "click", "purchase", "view"])
+
+
+@settings(
+    max_examples=int(os.environ.get("PROPERTY_MAX_EXAMPLES", "8")),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(min_value=1, max_value=40), data=st.data())
+def test_fuzz_event_ops_cross_engine(spark, tmp_path_factory, n, data):
+    """The whole events plane (asof, sessionize, range join, rollup,
+    funnel, cohorts, rolling window, markov, variant props,
+    co-occurrence, robust outliers) must agree with its DuckDB twins on
+    ARBITRARY event streams, not just the frozen testdata.
+
+    Determinism contract encoded in the generator: timestamps are
+    globally UNIQUE (ASOF/lag tie order at equal ts is engine-defined,
+    same as the cdc seq-uniqueness contract) and never NULL (window
+    ORDER BY null placement differs: Spark NULLS FIRST asc, DuckDB
+    NULLS LAST).  Values are dyadic rationals (k/8) so every sum is
+    exact in float64 and the 3/4 dp rounds cannot straddle a boundary;
+    value and props may be NULL."""
+    from datetime import datetime, timedelta
+
+    from pero_ocr_api_spark.compare import run_pair
+    from pero_ocr_api_spark.functions.events import REGISTRY as EV
+
+    offsets = data.draw(
+        st.lists(
+            st.integers(0, 2_000_000), min_size=n, max_size=n, unique=True
+        ),
+        label="offsets",
+    )
+    base = datetime(2026, 1, 1)
+    rows = []
+    for i in range(n):
+        val = data.draw(
+            st.one_of(st.none(), st.integers(0, 64)), label=f"v{i}"
+        )
+        k = data.draw(
+            st.one_of(st.none(), st.integers(-30, 99)), label=f"k{i}"
+        )
+        rows.append(
+            (
+                i,
+                base + timedelta(seconds=offsets[i]),
+                data.draw(st.integers(0, 3), label=f"u{i}"),
+                data.draw(_event_type, label=f"t{i}"),
+                None if val is None else val / 8.0,
+                None if k is None else '{"k": %d}' % k,
+            )
+        )
+    d = tmp_path_factory.mktemp("fuzz_ev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    for name in sorted(EV):
+        fn, sql = EV[name]
         errs = run_pair(spark, str(d), fn, sql)
         assert errs == [], (name, errs, rows)
