@@ -492,7 +492,8 @@ def gumbel_topk(
     """Top-``n`` rows by ``log_weight + Gumbel(hash(id))`` — weighted
     sampling without replacement, P ∝ exp(log_weight), reproducible
     across engines / runs / cluster sizes.  Returns (id, gumbel_key,
-    sample_rank).
+    sample_rank).  ``log_weight`` must be finite: pre-filter P=0 rows
+    (ln(0) = NULL in Spark but an ERROR in DuckDB).
 
     Scale shape: the key is a per-row expression (two md5 calls and a
     double log chain, codegen); the global top-n is a distributed
@@ -523,7 +524,7 @@ def _gumbel_sql() -> str:
                + (-ln(-ln((({byte(1)}) * 65536 + ({byte(3)}) * 256
                            + ({byte(5)}) + 0.5) / 16777216.0))), 6)
            AS gumbel_key
-  FROM documents)
+  FROM documents WHERE n_chars > 0)
 SELECT doc_id, gumbel_key, sample_rank FROM (
   SELECT doc_id, gumbel_key,
          row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
@@ -538,8 +539,13 @@ def q_gumbel_sample(spark: SparkSession, sf: str) -> DataFrame:
     (log_weight = ln(n_chars)); in the DSIR pipeline the same call
     takes td_curation_dsir's log_weight column instead."""
     docs = load_table(spark, sf, "documents")
+    # P(doc) ∝ n_chars = 0 means "never sampled": filter weight-0 docs
+    # BEFORE keying — ln(0) would NULL the key in Spark (which then
+    # still ranks, desc NULLS LAST) and ERROR outright in DuckDB
+    # (fuzz-gate find).  gumbel_topk requires a finite log_weight.
     return gumbel_topk(
-        docs, F.log(F.col("n_chars").cast("double")), GUMBEL_N
+        docs.filter(F.col("n_chars") > 0),
+        F.log(F.col("n_chars").cast("double")), GUMBEL_N
     )
 
 

@@ -260,8 +260,15 @@ def rerank_after_ann(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id"), F.col("text")
     )
+    # NULL text tokenizes as the EMPTY list on both engines: Spark's
+    # array_union(NULL, x) is NULL (jacc -> 0.0 via otherwise) where
+    # DuckDB's list_concat ignores NULL (jacc -> NULL), which silently
+    # reorders the final top-k (fuzz-gate find)
     toks = lambda c: F.array_distinct(
-        F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+        F.filter(
+            F.split(F.coalesce(c, F.lit("")), " "),
+            lambda t: t != F.lit(""),
+        )
     )
     # broadcast the |Q|xk candidate pairs into BOTH text attachments:
     # the corpus-side table is scanned once per attach, pruned to
@@ -302,7 +309,8 @@ def _rerank_sql() -> str:
     tok = (
         "list_distinct(list_filter(string_split({c}, ' '), t -> t <> ''))"
     )
-    qt, nt = tok.format(c="dq.text"), tok.format(c="dn.text")
+    qt = tok.format(c="coalesce(dq.text, '')")
+    nt = tok.format(c="coalesce(dn.text, '')")
     return f"""WITH ann AS ({_ann_lsh_sql()}),
 paired AS (
   SELECT a.q_id, a.n_id, a.cosine, dq.text AS q_text, dn.text AS n_text,

@@ -491,7 +491,7 @@ N_TILES = 10
 d AS (
   SELECT lang, n_tokens,
          ntile({N_TILES}) OVER (PARTITION BY lang
-                                ORDER BY n_tokens, doc_id) AS decile
+                                ORDER BY n_tokens NULLS LAST, doc_id) AS decile
   FROM t)
 SELECT lang, decile,
        count(*) AS n_docs,
@@ -515,7 +515,12 @@ def q_length_deciles(spark: SparkSession, sf: str) -> DataFrame:
     t = docs.select(
         "lang", F.size(tokens_col()).alias("n_tokens"), "doc_id"
     )
-    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    # NULL n_tokens (NULL text): Spark default-asc sorts NULLS FIRST
+    # where DuckDB sorts NULLS LAST — pin NULLS LAST so ntile bucket
+    # assignment is engine-identical (fuzz-gate find).
+    w = Window.partitionBy("lang").orderBy(
+        F.asc_nulls_last("n_tokens"), "doc_id"
+    )
     return (
         t.withColumn("decile", F.ntile(N_TILES).over(w))
         .groupBy("lang", "decile")
