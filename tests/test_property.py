@@ -339,6 +339,8 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
         ("td_dedup_tfidf_cosine", DD),
         ("td_dedup_canonical", CL),
         ("td_split_leakage_safe", CL),
+        ("td_merge_upsert", CDC),
+        ("td_merge_cdc_delete", CDC),
     ]:
         fn, sql = reg[name]
         errs = run_pair(spark, str(d), fn, sql)
@@ -405,8 +407,14 @@ def test_fuzz_event_ops_cross_engine(spark, tmp_path_factory, n, data):
         "event_type string, value double, props string",
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
 
-    for name in sorted(EV):
-        fn, sql = EV[name]
+    # td_scd2_versions lives in the cdc registry but reads the events
+    # table — same determinism contract (unique non-NULL ts)
+    from pero_ocr_api_spark.functions.cdc import REGISTRY as CDC
+
+    for name, reg in [(n, EV) for n in sorted(EV)] + [
+        ("td_scd2_versions", CDC)
+    ]:
+        fn, sql = reg[name]
         errs = run_pair(spark, str(d), fn, sql)
         assert errs == [], (name, errs, rows)
 
