@@ -347,7 +347,9 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
         assert errs == [], (name, errs, rows)
 
 
-_event_type = st.sampled_from(["signup", "click", "purchase", "view"])
+_event_type = st.sampled_from(
+    ["signup", "click", "purchase", "view", "error"]
+)
 
 
 @settings(
@@ -503,3 +505,153 @@ def test_fuzz_similarity_ops_cross_engine(spark, tmp_path_factory, n, data):
         fn, sql = SIM[name]
         errs = run_pair(spark, str(d), fn, sql)
         assert errs == [], (name, errs, rows)
+
+def _write_tpch_fuzz_dir(spark, d, seed: int, size: int) -> None:
+    """Deterministically expand one drawn seed into a CONSISTENT random
+    TPC-H-ish snowflake (plus events/documents/embeddings) with the
+    cross-engine determinism contract: money and rates are dyadic
+    (quarters / 64ths — every sum exact in float64), order dates are
+    globally unique (window/rank tie order at equal ts is
+    engine-defined), and ~10% of FKs dangle so outer/anti/semi paths
+    light up.  Domains mirror the frozen testdata so the cp_* literal
+    predicates actually select rows."""
+    import random as _random
+    from datetime import datetime, timedelta
+
+    R = _random.Random(seed)
+    base = datetime(1995, 1, 1)
+
+    region = [(i, nm) for i, nm in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nation = [(i, f"NATION_{i}", R.randint(0, 4)) for i in range(8)]
+    n_cust = max(3, size)
+    customer = [
+        (i, f"Customer#{i:09d}", R.randint(0, 9),  # 8,9 dangle
+         R.randint(-4000, 40000) / 4.0,
+         R.choice(["MACHINERY", "BUILDING", "AUTOMOBILE", "HOUSEHOLD",
+                   "FURNITURE"]))
+        for i in range(n_cust)
+    ]
+    supplier = [
+        (i, f"Supplier#{i:09d}", R.randint(0, 9),
+         R.randint(-4000, 40000) / 4.0)
+        for i in range(max(2, size // 3))
+    ]
+    part = [
+        (i,
+         f"{R.choice(['small','blue','cold','new','hot'])} "
+         f"{R.choice(['widget','rod','ring','anvil','bolt'])}",
+         f"Brand#{R.randint(1, 25)}",
+         R.choice(["ECONOMY", "LARGE", "STANDARD", "PROMO", "MEDIUM",
+                   "SMALL"]),
+         R.randint(1, 50), R.randint(100, 8000) / 4.0)
+        for i in range(max(3, size // 2))
+    ]
+    n_ord = max(5, size * 2)
+    odates = R.sample(range(0, 200_000_000), n_ord)  # unique, ~6.3y span
+    orders, lineitem = [], []
+    for i in range(n_ord):
+        orders.append(
+            (i, R.randint(0, n_cust + 1), R.choice("POF"),
+             R.randint(400, 2_000_000) / 4.0,
+             base + timedelta(seconds=odates[i]),
+             R.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                       "4-NOT SPECIFIED", "5-LOW"]))
+        )
+        for j in range(R.randint(0, 4)):
+            lineitem.append(
+                (i, R.randint(0, len(part)), R.randint(0, len(supplier)),
+                 j + 1, float(R.randint(1, 50)),
+                 R.randint(100, 400_000) / 4.0,
+                 R.randint(0, 6) / 64.0, R.randint(0, 5) / 64.0,
+                 R.choice("NAR"), R.choice("FO"),
+                 base + timedelta(seconds=odates[i] + j,
+                                  days=R.randint(1, 120)))
+            )
+    ev_base = datetime(2024, 1, 1)
+    ev_offsets = R.sample(range(0, 5_000_000), max(5, size * 3))
+    events = [
+        (i, ev_base + timedelta(seconds=off), R.randint(0, 5),
+         R.choice(["signup", "click", "purchase", "view", "error"]),
+         None if R.random() < 0.15 else R.randint(0, 2000) / 8.0,
+         None if R.random() < 0.15 else '{"k": %d}' % R.randint(-30, 99))
+        for i, off in enumerate(ev_offsets)
+    ]
+    documents = [
+        (i,
+         None if R.random() < 0.15 else
+         "".join(R.choice("abcd ") for _ in range(R.randint(0, 30))),
+         R.choice(["en", "de", "fr"]), f"s{i % 3}")
+        for i in range(max(2, size))
+    ]
+    documents = [t + (0 if t[1] is None else len(t[1]),) for t in documents]
+    embeddings = [
+        (i, [R.randint(-16, 16) / 8.0 for _ in range(64)], R.randint(0, 3))
+        for i in range(max(6, size))
+    ]
+
+    for name, rows, schema in [
+        ("region", region, "r_regionkey int, r_name string"),
+        ("nation", nation,
+         "n_nationkey int, n_name string, n_regionkey int"),
+        ("customer", customer,
+         "c_custkey long, c_name string, c_nationkey int, "
+         "c_acctbal double, c_mktsegment string"),
+        ("supplier", supplier,
+         "s_suppkey long, s_name string, s_nationkey int, "
+         "s_acctbal double"),
+        ("part", part,
+         "p_partkey long, p_name string, p_brand string, p_type string, "
+         "p_size int, p_retailprice double"),
+        ("orders", orders,
+         "o_orderkey long, o_custkey long, o_orderstatus string, "
+         "o_totalprice double, o_orderdate timestamp_ntz, "
+         "o_orderpriority string"),
+        ("lineitem", lineitem,
+         "l_orderkey long, l_partkey long, l_suppkey long, "
+         "l_linenumber int, l_quantity double, l_extendedprice double, "
+         "l_discount double, l_tax double, l_returnflag string, "
+         "l_linestatus string, l_shipdate timestamp_ntz"),
+        ("events", events,
+         "event_id long, ts timestamp_ntz, user_id long, "
+         "event_type string, value double, props string"),
+        ("documents", documents,
+         "doc_id long, text string, lang string, source string, "
+         "n_chars long"),
+        ("embeddings", embeddings,
+         "vec_id long, embedding array<float>, label int"),
+    ]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{name}.parquet"))
+
+
+@settings(
+    max_examples=max(
+        2, int(os.environ.get("PROPERTY_MAX_EXAMPLES", "8")) // 4
+    ),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    size=st.integers(min_value=3, max_value=15),
+)
+def test_fuzz_controlplane_cross_engine(spark, tmp_path_factory, seed, size):
+    """Every oracled cp_* query (the whole control plane: filters,
+    joins, aggs, windows, state machine, admin, and the 22-shape ANSI
+    SQL surface) must agree with DuckDB on ARBITRARY consistent
+    TPC-H-ish snapshots, not just the frozen testdata.  The hand-
+    translated DataFrame queries are where dialect divergence can
+    hide; the cp_sql_* twins run ONE string on both engines, so any
+    failure there is an engine-semantics difference on identical SQL."""
+    import __spark_entry__ as entrymod
+    from pero_ocr_api_spark.compare import run_pair
+
+    d = tmp_path_factory.mktemp("fuzz_cp")
+    _write_tpch_fuzz_dir(spark, d, seed, size)
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    for name in sorted(n for n in qs if n.startswith("cp_") and n in osql):
+        errs = run_pair(spark, str(d), qs[name], osql[name])
+        assert errs == [], (name, errs, seed, size)
