@@ -409,12 +409,15 @@ def test_fuzz_event_ops_cross_engine(spark, tmp_path_factory, n, data):
         "event_type string, value double, props string",
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
 
-    # td_scd2_versions lives in the cdc registry but reads the events
-    # table — same determinism contract (unique non-NULL ts)
+    # td_scd2_versions (cdc registry) and td_profile_key_skew
+    # (sketches registry) also read the events table — same
+    # determinism contract (unique non-NULL ts)
     from pero_ocr_api_spark.functions.cdc import REGISTRY as CDC
+    from pero_ocr_api_spark.functions.sketches import REGISTRY as SK
 
     for name, reg in [(n, EV) for n in sorted(EV)] + [
-        ("td_scd2_versions", CDC)
+        ("td_scd2_versions", CDC),
+        ("td_profile_key_skew", SK),
     ]:
         fn, sql = reg[name]
         errs = run_pair(spark, str(d), fn, sql)
@@ -655,3 +658,62 @@ def test_fuzz_controlplane_cross_engine(spark, tmp_path_factory, seed, size):
     for name in sorted(n for n in qs if n.startswith("cp_") and n in osql):
         errs = run_pair(spark, str(d), qs[name], osql[name])
         assert errs == [], (name, errs, seed, size)
+
+@settings(
+    # extraction runs the emulated-latency inference stage per example,
+    # so this gate gets the quarter budget
+    max_examples=max(
+        2, int(os.environ.get("PROPERTY_MAX_EXAMPLES", "8")) // 4
+    ),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=20),
+    data=st.data(),
+)
+def test_fuzz_extraction_mm_cross_engine(spark, tmp_path_factory, texts, data):
+    """The flagship extraction pipeline, its serializers, and the
+    multimodal/main-content/profiler planes must agree with their
+    DuckDB twins on ARBITRARY corpora — the spans table derives
+    deterministically from documents (synth.exploded_spans ==
+    SQL_EXPLODED_SPANS_CTE), so random text fuzzes the whole
+    interleaved-span derivation, the md5-stub inference, reading
+    order, and the XML serializers on both engines.  With this gate
+    every oracled query in the registry is fuzz-covered."""
+    import __spark_entry__ as entrymod
+    from pero_ocr_api_spark.compare import run_pair
+
+    rows = []
+    for i, t in enumerate(texts):
+        if t is not None and data.draw(st.booleans(), label=f"dup{i}"):
+            t = texts[0] if texts[0] is not None else t
+        rows.append(
+            (
+                i,
+                t,
+                data.draw(st.sampled_from(["en", "de", "fr"]), label=f"l{i}"),
+                f"s{i % 3}",
+                0 if t is None else len(t),
+            )
+        )
+    d = tmp_path_factory.mktemp("fuzz_xt")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    for name in [
+        "extract_input_spans", "extract_pipeline_spans",
+        "extract_doc_results", "extract_regions",
+        "extract_serialize_txt", "extract_serialize_alto",
+        "extract_serialize_page", "extract_conf_histogram",
+        "td_mm_decode", "td_mm_features", "td_mm_resize_plan",
+        "td_mm_frame_sample",
+        "td_mc_blocks", "td_mc_extract",
+        "td_profile_documents",
+    ]:
+        errs = run_pair(spark, str(d), qs[name], osql[name])
+        assert errs == [], (name, errs, rows)
