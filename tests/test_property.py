@@ -659,6 +659,16 @@ def test_fuzz_controlplane_cross_engine(spark, tmp_path_factory, seed, size):
         errs = run_pair(spark, str(d), qs[name], osql[name])
         assert errs == [], (name, errs, seed, size)
 
+# the extraction gate feeds XML serializers and the md5 stub: stress
+# XML-specials, quotes, unicode (incl. arabic) alongside the plain
+# alphabet — escaping and UTF-8 hashing must agree cross-engine
+_xml_text = st.one_of(
+    st.none(),
+    _doc_text,
+    st.text(alphabet=list("ab &<>\"'\t\n ةاب١€漢"), max_size=60),
+)
+
+
 @settings(
     # extraction runs the emulated-latency inference stage per example,
     # so this gate gets the quarter budget
@@ -670,7 +680,7 @@ def test_fuzz_controlplane_cross_engine(spark, tmp_path_factory, seed, size):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    texts=st.lists(_doc_text, min_size=1, max_size=20),
+    texts=st.lists(_xml_text, min_size=1, max_size=20),
     data=st.data(),
 )
 def test_fuzz_extraction_mm_cross_engine(spark, tmp_path_factory, texts, data):
