@@ -501,9 +501,13 @@ def gumbel_topk(
     most n rows), never a full sort."""
     u = _uniform01_col(F.col(id_col))
     key = F.round(log_weight + (-F.log(-F.log(u))), 6)
+    # self-enforce the finite-log_weight contract: a NULL key (ln(0)
+    # from a P=0 weight) must mean "never sampled", not "ranks last" —
+    # the SQL twin of any caller still has to pre-filter, since DuckDB
+    # errors on ln(0) instead of going NULL
     ranked = df.select(
         F.col(id_col), key.alias("gumbel_key")
-    ).select(
+    ).filter(F.col("gumbel_key").isNotNull()).select(
         id_col, "gumbel_key",
         F.row_number()
         .over(Window.orderBy(F.desc("gumbel_key"), id_col))
