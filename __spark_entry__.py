@@ -116,6 +116,14 @@ _DRIVER_WINDOW = [
     # NEW in round 5: the whole-engine curation funnel report (raw ->
     # nonempty -> quality gate -> classifier gate -> dedup canonical)
     "td_curation_funnel",
+    # NEW in round 5: cross-document LINE-level boilerplate dedup
+    # (RefinedWeb/MassiveText pass — removal unit is the line, evidence
+    # is cross-doc frequency; blacklist broadcasts like the band cap)
+    "td_dedup_lines",
+    # NEW in round 5: add-1-smoothed bigram-LM cross-entropy (the
+    # KenLM perplexity gate's conditional-probability upgrade of
+    # td_text_unigram_ce; integer-grid exact summation)
+    "td_text_bigram_ce",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -135,8 +143,10 @@ _DRIVER_WINDOW = [
     "td_dedup_semantic", "td_dedup_incremental", "td_text_bpe_pairs",
     "td_curation_dsir", "td_profile_documents",
     "td_sim_ivfpq_search", "td_profile_key_skew",
-    "td_event_cooccurrence", "td_dedup_tfidf_cosine",
-    "td_emb_dim_stats", "td_curation_gumbel_sample",
+    # (td_event_cooccurrence and td_emb_dim_stats — r04-green,
+    # untouched — are the fill entries evicted for the two new
+    # round-5 ops above)
+    "td_dedup_tfidf_cosine", "td_curation_gumbel_sample",
     # touched in round 5 (fuzz-gate find): the exact-dedup oracle now
     # mirrors Spark's empty-vs-NULL fingerprint semantics
     # (array_to_string([]) is NULL in DuckDB, array_join([]) is '' in

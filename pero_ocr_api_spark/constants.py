@@ -77,3 +77,7 @@ LSH_BAND_CAP = 16       # max band-bucket size for pairwise candidate gen;
                         # bigger buckets take the exact-signature star path
 SIMHASH_BITS = 16
 SUBSTR_W = 8            # token-window width for exact-substring dedup
+LINE_W = 3              # token-segment width standing in for "lines"
+                        # (the synthetic corpus has no newlines)
+LINE_DF = 3             # a segment repeated in >= this many DISTINCT
+                        # docs is boilerplate (RefinedWeb-style)

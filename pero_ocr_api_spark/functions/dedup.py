@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import (
+    LINE_DF,
+    LINE_W,
     LSH_BAND_CAP,
     LSH_BANDS,
     MINHASH_PERMS,
@@ -936,4 +938,86 @@ def q_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("source_x", "source_y")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ------------------------------------------- cross-doc line-level dedup
+_LINES_SQL = f"""WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest([array_to_string(
+                   list_slice(toks, 1 + {LINE_W} * (i - 1), {LINE_W} * i),
+                   ' ')
+                 for i in range(
+                   1, 1 + CAST(ceil(len(toks) / {LINE_W}.0) AS INT))])
+           AS line
+  FROM t WHERE len(toks) > 0),
+f AS (
+  SELECT line FROM l GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {LINE_DF})
+SELECT l.doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN f.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN f.line IS NULL
+                     THEN len(string_split(l.line, ' ')) ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept
+FROM l LEFT JOIN f USING (line)
+GROUP BY l.doc_id"""
+
+
+@_reg("td_dedup_lines", _LINES_SQL)
+def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document line-level dedup (the RefinedWeb / MassiveText
+    boilerplate pass): a "line" repeated verbatim in >= LINE_DF distinct
+    documents is navigation/cookie-banner boilerplate and is dropped
+    from every document that carries it; per doc we report total lines,
+    dropped lines, and surviving token count.  Distinct from the
+    doc-level planes (td_dedup_*) and the within-corpus duplicated-SPAN
+    extractor (td_dedup_substring_spans): here the unit of removal is
+    the line and the evidence is cross-document frequency, not pairwise
+    similarity.  The synthetic corpus has no newlines, so "lines" are
+    consecutive LINE_W-token segments — swapping the segmenter for
+    split('\\n') changes one expression, not the plan.
+
+    Scale shape (100 TB): one combine-shuffled count-distinct on the
+    line hash builds the frequency table; the df >= LINE_DF blacklist
+    is tiny by construction (boilerplate is few distinct strings) and
+    BROADCASTS back onto the exploded lines — the same blacklist idiom
+    as the MinHash band cap.  The per-doc re-agg combines map-side to
+    one row per doc per partition (explode is narrow, so each doc's
+    lines are co-partitioned already).  No all-pairs step anywhere."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    n_lines = F.ceil(F.size("toks") / float(LINE_W)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(
+            F.slice(F.col("toks"), (i - 1) * LINE_W + 1, LINE_W), " "
+        ),
+    )
+    ex = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode(lines).alias("line"))
+    )
+    boiler = (
+        ex.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= LINE_DF)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = ex.join(F.broadcast(boiler), "line", "left")
+    kept_tokens = F.when(
+        F.col("is_boiler").isNotNull(), F.lit(0)
+    ).otherwise(F.size(F.split("line", " ")))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
+        ).alias("n_dropped"),
+        F.sum(kept_tokens).cast("bigint").alias("n_tokens_kept"),
     )

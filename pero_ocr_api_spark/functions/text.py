@@ -1180,3 +1180,90 @@ def q_postings(spark: SparkSession, sf: str) -> DataFrame:
             ",",
         ).alias("postings_head"),
     )
+
+
+# ---- bigram LM cross-entropy (KenLM-style perplexity filter) ----
+_BIGRAM_CE_SQL = """WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                 for i in range(1, len(toks))]) AS bigram
+  FROM t WHERE len(toks) >= 2),
+big AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+hist AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1
+  FROM big GROUP BY w1),
+voc AS (
+  SELECT count(DISTINCT token) AS v
+  FROM (SELECT unnest(toks) AS token FROM t))
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       round(sum(CAST(round(-ln((c12 + 1.0) / (c1 + v)) * 1000000)
+                      AS BIGINT))
+             / (1000000.0 * count(*)), 6) AS cross_entropy
+FROM bg
+JOIN big USING (bigram)
+JOIN hist ON string_split(bg.bigram, ' ')[1] = hist.w1
+CROSS JOIN voc
+GROUP BY bg.doc_id"""
+
+
+@_reg("td_text_bigram_ce", _BIGRAM_CE_SQL)
+def q_bigram_ce(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under an add-1-smoothed bigram LM
+    trained on the corpus itself — the conditional-probability upgrade
+    of td_text_unigram_ce and the relational skeleton of the KenLM
+    perplexity gate (CCNet / LLaMA curation): p(w2|w1) =
+    (C(w1 w2) + 1) / (C(w1) + V).  High CE = token stream the corpus
+    LM finds improbable = gibberish/boilerplate candidate.  A real
+    deployment swaps the in-pipeline counts for a pruned trained LM
+    table; the join/aggregate shape — and the broadcast-model scaling
+    story — is identical.
+
+    Scale shape: one bigram explode feeds a combine-shuffled count;
+    the history table C(w1) derives from the bigram counts (never a
+    second corpus scan); V joins in as a broadcast single-row
+    aggregate; the scoring join is an equi-join on the bigram string
+    (broadcastable while the model fits — exactly how a KenLM artifact
+    ships — shuffle otherwise, AQE decides).  Float discipline: each
+    bigram's logp snaps to the 1e-6 integer grid and the per-doc sum
+    runs in BIGINT (order-independent, engine-exact), the
+    td_text_unigram_ce precedent."""
+    docs = load_table(spark, sf, "documents")
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
+    )
+    bg = d.select("doc_id", F.explode(grams).alias("bigram"))
+    big = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    hist = (
+        big.groupBy(
+            F.split("bigram", " ").getItem(0).alias("w1")
+        ).agg(F.sum("c12").alias("c1"))
+    )
+    voc = (
+        docs.select(F.explode(toks).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    # fold the 1-row V aggregate into the (small) history table, not the
+    # per-bigram stream: the nested-loop cross touches |vocab| rows, and
+    # the smoothing denominator ships inside the broadcast model join
+    hist = hist.crossJoin(F.broadcast(voc))
+    logp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    logp_micro = F.round(logp * 1000000.0, 0).cast("long")
+    return (
+        bg.join(big, "bigram")
+        .join(hist, F.split(bg["bigram"], " ").getItem(0) == hist["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(logp_micro) / (1000000.0 * F.count("*")), 6
+            ).alias("cross_entropy"),
+        )
+    )

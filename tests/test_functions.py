@@ -915,3 +915,73 @@ def test_curation_funnel_matches_source_ops(spark, sf_smoke):
         if d not in clustered or d in canon
     }
     assert rows["dedup_canonical"]["n_docs"] == len(survivors)
+
+
+def test_line_dedup_drops_exactly_frequent_lines(spark, tmp_path):
+    """A LINE_W-token segment shared by >= LINE_DF distinct docs is
+    dropped from all of them; segments below the threshold survive.
+    Hand-checkable fixture: 'a b c' in 3 docs (dropped), 'd e f' in 2
+    (kept), plus a short tail segment."""
+    from pero_ocr_api_spark.functions.dedup import REGISTRY as DD
+
+    rows = [
+        (1, "a b c d e f"),        # 2 lines: [a b c][d e f]
+        (2, "a b c d e f"),        # 2 lines: [a b c][d e f]
+        (3, "a b c q r s t"),      # 3 lines: [a b c][q r s][t]
+        (4, "u v w"),              # 1 line:  [u v w]
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in DD["td_dedup_lines"][0](spark, str(tmp_path)).collect()
+    }
+    # 'a b c' has df=3 -> boilerplate; 'd e f' has df=2 -> kept
+    assert (out[1]["n_lines"], out[1]["n_dropped"],
+            out[1]["n_tokens_kept"]) == (2, 1, 3)
+    assert (out[2]["n_lines"], out[2]["n_dropped"],
+            out[2]["n_tokens_kept"]) == (2, 1, 3)
+    assert (out[3]["n_lines"], out[3]["n_dropped"],
+            out[3]["n_tokens_kept"]) == (3, 1, 4)  # q r s + t survive
+    assert (out[4]["n_lines"], out[4]["n_dropped"],
+            out[4]["n_tokens_kept"]) == (1, 0, 3)
+
+
+def test_bigram_ce_matches_closed_form(spark, tmp_path):
+    """td_text_bigram_ce equals the hand-computed add-1-smoothed
+    bigram cross-entropy (same 1e-6 grid snapping)."""
+    import math
+    from collections import Counter
+
+    from pero_ocr_api_spark.functions.text import REGISTRY as TXT
+
+    texts = {1: "a b a b", 2: "a b c", 3: "c"}
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    toks = {i: t.split() for i, t in texts.items()}
+    bigrams = {i: list(zip(tk, tk[1:])) for i, tk in toks.items()}
+    c12 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    v = len({w for tk in toks.values() for w in tk})
+
+    def ce(doc):
+        micro = sum(
+            round(-math.log((c12[b] + 1.0) / (c1[b[0]] + v)) * 1e6)
+            for b in bigrams[doc]
+        )
+        return round(micro / (1e6 * len(bigrams[doc])), 6)
+
+    out = {
+        r["doc_id"]: r
+        for r in TXT["td_text_bigram_ce"][0](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert out[1]["cross_entropy"] == ce(1)
+    assert out[2]["cross_entropy"] == ce(2)

@@ -33,6 +33,9 @@ _BNLJ_OK = {
     "td_event_cooccurrence", # 1-row n_users aggregate crossed in
     "td_text_idf",           # 1-row corpus-size aggregate crossed in
     "td_text_unigram_ce",    # 1-row corpus-size aggregate crossed in
+    "td_text_bigram_ce",     # 1-row vocab-size aggregate crossed into
+                             # the |vocab|-row history table (not the
+                             # per-bigram stream)
     "td_lang_rebalance",     # 1-row waterfill-scale aggregate crossed in
     "td_sketch_quantiles",   # 3-row quantile estimate crossed for rank_err
     "td_text_bm25",          # 1-row corpus-stats aggregate crossed in
