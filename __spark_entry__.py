@@ -124,6 +124,11 @@ _DRIVER_WINDOW = [
     # KenLM perplexity gate's conditional-probability upgrade of
     # td_text_unigram_ce; integer-grid exact summation)
     "td_text_bigram_ce",
+    # NEW in round 5: LPT token-balanced shard plan — per-shard totals
+    # from closed-form arithmetic over the token-count histogram (the
+    # corpus is never globally ranked; oracle runs the naive
+    # row_number deal — a cross-ALGORITHM gate like token_budget)
+    "td_shard_plan",
     # re-confirmation fill: r04-green entries, unchanged since (the two
     # rows-only sketches td_sketch_{quantiles,distinct} are demoted past
     # slot 50 per VERDICT item 1c — their "err: no_oracle" rows were
@@ -143,10 +148,10 @@ _DRIVER_WINDOW = [
     "td_dedup_semantic", "td_dedup_incremental", "td_text_bpe_pairs",
     "td_curation_dsir", "td_profile_documents",
     "td_sim_ivfpq_search", "td_profile_key_skew",
-    # (td_event_cooccurrence and td_emb_dim_stats — r04-green,
-    # untouched — are the fill entries evicted for the two new
-    # round-5 ops above)
-    "td_dedup_tfidf_cosine", "td_curation_gumbel_sample",
+    # (td_event_cooccurrence, td_emb_dim_stats and td_dedup_tfidf_cosine
+    # — r04-green, untouched — are the fill entries evicted for the
+    # three new round-5 ops above)
+    "td_curation_gumbel_sample",
     # touched in round 5 (fuzz-gate find): the exact-dedup oracle now
     # mirrors Spark's empty-vs-NULL fingerprint semantics
     # (array_to_string([]) is NULL in DuckDB, array_join([]) is '' in

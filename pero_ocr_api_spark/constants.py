@@ -81,3 +81,4 @@ LINE_W = 3              # token-segment width standing in for "lines"
                         # (the synthetic corpus has no newlines)
 LINE_DF = 3             # a segment repeated in >= this many DISTINCT
                         # docs is boilerplate (RefinedWeb-style)
+N_SHARDS = 8            # output shards for the LPT shard-balance plan

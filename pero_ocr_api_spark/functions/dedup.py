@@ -801,8 +801,8 @@ scored AS (
   SELECT d.doc_a, d.doc_b, d.n_shared,
          round((d.dot_micro / 1000000.0) / (na.nrm * nb.nrm), 6) AS cosine
   FROM dots d
-  JOIN norms na ON na.doc_id = d.doc_a
-  JOIN norms nb ON nb.doc_id = d.doc_b),
+  JOIN norms na ON na.doc_id = d.doc_a AND na.nrm > 0
+  JOIN norms nb ON nb.doc_id = d.doc_b AND nb.nrm > 0),
 ranked AS (
   SELECT doc_a, doc_b, n_shared, cosine,
          row_number() OVER (ORDER BY cosine DESC, doc_a, doc_b) AS rank
@@ -827,7 +827,10 @@ def q_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     the already-collapsed pair relation.  Float discipline: w*w and
     wa*wb snap to the 1e-6 integer grid BEFORE summation (BIGINT,
     order-independent); sqrt/divide run on identical doubles in both
-    engines."""
+    engines.  Contract: pairs where either vector has zero norm
+    (all idf weights 0 because every kept shingle appears in every
+    shingled doc) are EXCLUDED — cosine is undefined there and the
+    vectors carry no ranking signal."""
     tfs = shingle_tf_df(spark, sf).localCheckpoint()
     dfs = (
         tfs.groupBy("sh")
@@ -871,6 +874,13 @@ def q_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     scored = (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
+        # zero-norm vectors (every kept shingle has df == n_docs, so
+        # all idf weights are 0) make cosine 0/0 — undefined, and an
+        # ANSI DIVIDE_BY_ZERO on the Spark side.  Such docs carry no
+        # ranking signal; their pairs are excluded on BOTH engines
+        # (fuzz-found: a 2-doc corpus where the only two shingled docs
+        # are exact duplicates zeroes every weight).
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
             "doc_a", "doc_b", "n_shared",
             F.round(

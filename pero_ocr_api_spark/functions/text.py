@@ -1267,3 +1267,95 @@ def q_bigram_ce(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+# ---- LPT shard-balance plan (histogram arithmetic, no global rank) ----
+from ..constants import N_SHARDS  # noqa: E402  (grouped with the op)
+
+_SHARD_PLAN_SQL = f"""WITH t AS (
+  SELECT doc_id,
+         coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')),
+                  0) AS tokens
+  FROM documents),
+r AS (
+  SELECT tokens,
+         row_number() OVER (ORDER BY tokens DESC, doc_id) AS rk
+  FROM t)
+SELECT CAST((rk - 1) % {N_SHARDS} AS INT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS n_tokens
+FROM r GROUP BY 1"""
+
+
+@_reg("td_shard_plan", _SHARD_PLAN_SQL)
+def q_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-balanced output-shard plan (the tokenized-dataset writer's
+    layout step): rank docs by token count descending and deal them
+    round-robin into N_SHARDS shards — the LPT heuristic that keeps
+    data-loader shards within one document of equal token mass —
+    reporting per-shard doc and token totals.
+
+    Scale shape — the corpus is NEVER ranked, shuffled, or even
+    re-scanned.  The naive semantics (what the DuckDB oracle runs) is
+    a corpus-wide row_number: a single-task global sort at 100 TB.
+    This plan exploits that every doc in a token-count cell is
+    interchangeable for the aggregate:
+      1. per-doc token count: one codegen projection, zero shuffles;
+      2. histogram by exact token count: ONE combine shuffle of
+         <= |distinct counts| cells;
+      3. cumulative window over the tiny cell table (descending
+         tokens) gives each cell its starting global rank r0 =
+         cum_before + 1; the cell's c docs occupy consecutive ranks,
+         so shard s receives a CLOSED-FORM count
+           d = (s - cum_before mod S) mod S
+           n = c > d ? (c - 1 - d) div S + 1 : 0
+         — pure integer arithmetic over cells x S rows;
+      4. one tiny groupBy(shard_id) folds cells into the plan.
+    Per-doc shard assignment, when needed at write time, is the same
+    pure function of (cell cum_before, within-cell doc_id rank) and
+    stays partition-local.  Cross-ALGORITHM oracle: the naive global
+    window must produce identical totals because within-cell order
+    cannot change a cell's shard multiset.
+
+    Reference scope: no shard planner in the reference; SURVEY §2
+    extras (training-data toolkit, write-layout plane)."""
+    docs = load_table(spark, sf, "documents")
+    # NULL text counts as 0 tokens (both engines): a NULL cell would
+    # otherwise rank engine-dependently and null out its shard's sum
+    t = docs.select(
+        F.coalesce(F.size(tokens_col()), F.lit(0)).alias("tokens"), "doc_id"
+    )
+    cells = t.groupBy("tokens").agg(F.count("*").alias("c"))
+    wc = Window.orderBy(F.col("tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cells = cells.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(wc), F.lit(0))
+    )
+    sh = cells.select(
+        "tokens",
+        "c",
+        "cum_before",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SHARDS - 1))).alias(
+            "shard_id"
+        ),
+    )
+    # first within-cell index landing on this shard (offsets are all
+    # non-negative after the +S guard, so plain % is floor-mod here)
+    d = (F.col("shard_id") - F.col("cum_before") % N_SHARDS + N_SHARDS) % N_SHARDS
+    n = F.when(
+        F.col("c") > d,
+        F.floor((F.col("c") - 1 - d) / N_SHARDS).cast("long") + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        sh.select(F.col("shard_id").cast("int").alias("shard_id"),
+                  n.alias("n"), F.col("tokens"))
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum(F.col("n") * F.col("tokens")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+        .filter(F.col("n_docs") > 0)
+    )

@@ -985,3 +985,73 @@ def test_bigram_ce_matches_closed_form(spark, tmp_path):
     assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
     assert out[1]["cross_entropy"] == ce(1)
     assert out[2]["cross_entropy"] == ce(2)
+
+
+def test_shard_plan_matches_naive_lpt(spark, tmp_path):
+    """The histogram-arithmetic shard plan equals the naive global
+    row_number deal on two hand-checkable corpora: distinct token
+    counts (one doc per rank) and a single 10-doc tie cell (the
+    wrap-around case: shards 0-1 get 2 docs, shards 2-7 get 1)."""
+    from pero_ocr_api_spark.constants import N_SHARDS
+    from pero_ocr_api_spark.functions.text import REGISTRY as TXT
+
+    assert N_SHARDS == 8
+
+    def run(texts):
+        spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return {
+            r["shard_id"]: (r["n_docs"], r["n_tokens"])
+            for r in TXT["td_shard_plan"][0](spark, str(tmp_path)).collect()
+        }
+
+    # distinct counts 5,5,3,2,1 -> ranks 1..5 -> shards 0..4
+    out = run(["a b c d e", "f g h i j", "k l m", "n o", "p"])
+    assert out == {0: (1, 5), 1: (1, 5), 2: (1, 3), 3: (1, 2), 4: (1, 1)}
+
+    # one tie cell of 10 docs x 2 tokens: wrap-around within the cell
+    out = run(["w x"] * 10)
+    assert out == {
+        0: (2, 4), 1: (2, 4),
+        **{s: (1, 2) for s in range(2, 8)},
+    }
+
+
+def test_tfidf_cosine_zero_norm_pairs_excluded(spark, tmp_path):
+    """Fuzz-found (ANSI DIVIDE_BY_ZERO): when the only shingled docs
+    are exact duplicates, every kept shingle has df == n_docs, every
+    idf weight is 0, and both norms are 0 — cosine is 0/0.  Such pairs
+    are excluded on BOTH engines; with a third distinct doc sharing no
+    shingles, the non-degenerate pairs still rank normally."""
+    from pero_ocr_api_spark.compare import run_pair
+    from pero_ocr_api_spark.functions.dedup import REGISTRY
+
+    def write(texts):
+        spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+
+    fn, sql = REGISTRY["td_dedup_tfidf_cosine"]
+
+    # the falsifying shape: 2 shingled docs, exact duplicates, plus a
+    # doc too short to shingle -> all weights zero -> no pairs at all
+    write(["a b c d", "a b c d", "x y"])
+    assert run_pair(spark, str(tmp_path), fn, sql) == []
+    assert fn(spark, str(tmp_path)).count() == 0
+
+    # with two more distinct docs, n_docs=4 makes the duplicates'
+    # df=2 shingles carry idf ln(2) > 0 again — BOTH pairs now score
+    # normally (the exclusion is norm-driven, not duplicate-driven)
+    write(["a b c d", "a b c d", "p q r s t", "p q r u v"])
+    assert run_pair(spark, str(tmp_path), fn, sql) == []
+    out = {(r["doc_a"], r["doc_b"]) for r in fn(spark, str(tmp_path)).collect()}
+    assert (2, 3) in out and (0, 1) in out
