@@ -45,6 +45,32 @@ def _norm(a):
     )
 
 
+def _nonzero(emb: DataFrame) -> DataFrame:
+    """Exclude zero-norm vectors from the cosine plane (the quantize
+    op's `scale > 0` guard, applied plane-wide): a zero vector has no
+    direction, so its cosine is 0/0 — undefined semantically and a
+    TASK-KILLING SparkArithmeticException under ANSI mode, not a
+    row-level error.  At corpus scale zero embeddings are routine
+    encoder failures; they are excluded here (both engines, see
+    _NZ_EMB_SQL) instead of crashing the job."""
+    return emb.filter(_norm(F.col("embedding")) > F.lit(0.0))
+
+
+def _sumsq_sql(col: str) -> str:
+    """DuckDB sum-of-squares of an embedding column (compact
+    list_transform form; > 0 iff the L2 norm is > 0)."""
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE)))"
+    )
+
+
+# the SQL twin of _nonzero: embeddings with zero-norm vectors excluded
+_NZ_EMB_SQL = (
+    f"nz AS (SELECT * FROM embeddings WHERE {_sumsq_sql('embedding')} > 0)"
+)
+
+
 def _cosine_topk(cand, queries, k, on=None):
     """Shared score→rank→filter block: join candidates to (broadcast)
     queries, exact cosine from PRE-COMPUTED norm columns (computing the
@@ -76,7 +102,7 @@ def _cosine_topk(cand, queries, k, on=None):
 
 
 def q_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings").withColumn(
+    emb = _nonzero(load_table(spark, sf, "embeddings")).withColumn(
         "norm", _norm(F.col("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -91,8 +117,9 @@ def q_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_BRUTEFORCE_TOPK = f"""
-WITH q AS (
-  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH {_NZ_EMB_SQL},
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM nz WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.q_id, e.vec_id AS n_id,
          round(
@@ -103,7 +130,7 @@ scored AS (
               * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
            6) AS cosine
-  FROM embeddings e CROSS JOIN q
+  FROM nz e CROSS JOIN q
   WHERE e.vec_id <> q.q_id),
 ranked AS (
   SELECT q_id, n_id, cosine,
@@ -189,7 +216,7 @@ def ann_topk_lsh(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
     bucket equi-join → exact cosine → rank), closing the registry's
     last recall-only entry (VERDICT r3 #3)."""
     e = (
-        load_table(spark, sf, "embeddings")
+        _nonzero(load_table(spark, sf, "embeddings"))
         .withColumn("sig", _signature_expr())
         .withColumn("norm", _norm(F.col("embedding")))
     )
@@ -217,7 +244,8 @@ def _ann_lsh_sql() -> str:
     )
     return f"""WITH sigs AS ({_lsh_sql()}),
 e AS (SELECT s.vec_id, s.signature, m.embedding
-      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id),
+      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id
+      WHERE {_sumsq_sql('m.embedding')} > 0),
 q AS (SELECT vec_id AS q_id, signature, embedding AS q_emb
       FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -350,7 +378,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     at 10^12 rows this runs with ~40+ planes / multi-band signatures —
     the constant here is sized for the test corpus."""
     e = (
-        load_table(spark, sf, "embeddings")
+        _nonzero(load_table(spark, sf, "embeddings"))
         .withColumn("sig", _signature_expr())
         .withColumn("norm", _norm(F.col("embedding")))
     )
@@ -389,7 +417,8 @@ def _near_dup_sql() -> str:
     )
     return f"""WITH sigs AS ({_lsh_sql()}),
 e AS (SELECT s.vec_id, s.signature, m.embedding
-      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id),
+      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id
+      WHERE {_sumsq_sql('m.embedding')} > 0),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine
@@ -406,8 +435,12 @@ N_CENTROIDS = 8  # deterministic "training": centroids = vec_id < 8
 
 
 def _assignments(spark: SparkSession, sf: str) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (IVF cell)."""
-    emb = load_table(spark, sf, "embeddings")
+    """Assign every vector to its max-cosine centroid (IVF cell).
+    Zero-norm vectors (and zero centroids) are unassignable — no
+    direction means no nearest-by-cosine cell — and are excluded
+    (see _nonzero); this covers every _assignments consumer (IVF,
+    SemDeDup, IVF-PQ) in one place."""
+    emb = _nonzero(load_table(spark, sf, "embeddings"))
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
@@ -453,13 +486,14 @@ def _ivf_sql() -> str:
             for i in range(1, DIM + 1)
         )
 
-    return f"""WITH cents AS (
-  SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    return f"""WITH {_NZ_EMB_SQL},
+cents AS (
+  SELECT vec_id AS c_id, embedding FROM nz WHERE vec_id < {N_CENTROIDS}),
 scored AS (
   SELECT e.vec_id, c.c_id,
          round(({dot('e', 'c')})
                / (sqrt({dot('e', 'e')}) * sqrt({dot('c', 'c')})), 6) AS cs
-  FROM embeddings e CROSS JOIN cents c),
+  FROM nz e CROSS JOIN cents c),
 assigned AS (
   SELECT vec_id, c_id AS cell FROM (
     SELECT vec_id, c_id,
@@ -901,13 +935,14 @@ def _semantic_dedup_sql() -> str:
             for i in range(1, DIM + 1)
         )
 
-    return f"""WITH cents AS (
-  SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    return f"""WITH {_NZ_EMB_SQL},
+cents AS (
+  SELECT vec_id AS c_id, embedding FROM nz WHERE vec_id < {N_CENTROIDS}),
 scored AS (
   SELECT e.vec_id, c.c_id,
          round(({dot('e', 'c')})
                / (sqrt({dot('e', 'e')}) * sqrt({dot('c', 'c')})), 6) AS cs
-  FROM embeddings e CROSS JOIN cents c),
+  FROM nz e CROSS JOIN cents c),
 assigned AS (
   SELECT vec_id, c_id AS cell FROM (
     SELECT vec_id, c_id,
@@ -946,13 +981,14 @@ def _ivfpq_sql() -> str:
                       for i in range(1, {PQ_SUB + 1})])"""
         )
 
-    return f"""WITH cents AS (
-  SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    return f"""WITH {_NZ_EMB_SQL},
+cents AS (
+  SELECT vec_id AS c_id, embedding FROM nz WHERE vec_id < {N_CENTROIDS}),
 cellscore AS (
   SELECT e.vec_id, c.c_id,
          round(({dot('e', 'c')})
                / (sqrt({dot('e', 'e')}) * sqrt({dot('c', 'c')})), 6) AS cs
-  FROM embeddings e CROSS JOIN cents c),
+  FROM nz e CROSS JOIN cents c),
 assigned AS (
   SELECT vec_id, c_id AS cell FROM (
     SELECT vec_id, c_id,
@@ -1145,7 +1181,7 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
     Reference scope: no embedding-training plane in the reference;
     SURVEY §2 extras (training-data toolkit)."""
-    emb = load_table(spark, sf, "embeddings").withColumn(
+    emb = _nonzero(load_table(spark, sf, "embeddings")).withColumn(
         "norm", _norm(F.col("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1180,9 +1216,10 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_HARD_NEGATIVES = f"""
-WITH q AS (
+WITH {_NZ_EMB_SQL},
+q AS (
   SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-  FROM embeddings WHERE vec_id < {N_QUERIES}),
+  FROM nz WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
          round(
@@ -1193,7 +1230,7 @@ scored AS (
               * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
            6) AS cosine
-  FROM embeddings e CROSS JOIN q
+  FROM nz e CROSS JOIN q
   WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
 ranked AS (
   SELECT q_id, q_label, n_id, n_label, cosine,
@@ -1248,7 +1285,7 @@ def ann_topk_lsh_multiprobe(
     Deterministic given the md5-derived hyperplanes, so fully
     DuckDB-oracled like the single-probe path."""
     e = (
-        load_table(spark, sf, "embeddings")
+        _nonzero(load_table(spark, sf, "embeddings"))
         .withColumn("sig", _signature_expr())
         .withColumn("norm", _norm(F.col("embedding")))
     )
@@ -1290,7 +1327,8 @@ def _ann_lsh_mp_sql() -> str:
     probe_list = "[" + ", ".join(flips) + "]"
     return f"""WITH sigs AS ({_lsh_sql()}),
 e AS (SELECT s.vec_id, s.signature, m.embedding
-      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id),
+      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id
+      WHERE {_sumsq_sql('m.embedding')} > 0),
 q AS (SELECT vec_id AS q_id, unnest({probe_list}) AS probe,
              embedding AS q_emb
       FROM e WHERE vec_id < {N_QUERIES}),

@@ -1055,3 +1055,55 @@ def test_tfidf_cosine_zero_norm_pairs_excluded(spark, tmp_path):
     assert run_pair(spark, str(tmp_path), fn, sql) == []
     out = {(r["doc_a"], r["doc_b"]) for r in fn(spark, str(tmp_path)).collect()}
     assert (2, 3) in out and (0, 1) in out
+
+
+def test_similarity_zero_vector_excluded(spark, tmp_path):
+    """Zero-norm embeddings (routine encoder failures at corpus scale)
+    must be EXCLUDED by every cosine-dividing op on BOTH engines — not
+    crash the job with an ANSI DIVIDE_BY_ZERO, and not rank with an
+    undefined 0/0 cosine.  The corpus plants a zero vector on a QUERY
+    id (vec_id=0) and on a candidate id; both engines must agree and
+    neither id may appear in any output."""
+    import random
+
+    from pero_ocr_api_spark.compare import run_pair
+    from pero_ocr_api_spark.functions.similarity import DIM
+    from pero_ocr_api_spark.functions.similarity import REGISTRY as SIM
+
+    rows = []
+    for i in range(24):
+        rng = random.Random(1000 + i)
+        vec = [rng.randint(-16, 16) / 8.0 for _ in range(DIM)]
+        if i in (0, 13):  # query-side and candidate-side zero vectors
+            vec = [0.0] * DIM
+        rows.append((i, vec, i % 4))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    # td_sim_rerank needs documents text for its candidates
+    spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 5} shared", "en", "s0") for i in range(24)],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    affected = [
+        "td_sim_bruteforce_topk", "td_sim_ann_lsh_topk",
+        "td_sim_lsh_multiprobe", "td_sim_rerank",
+        "td_dedup_embedding_cosine", "td_sim_ivf_topk",
+        "td_dedup_semantic", "td_sim_ivfpq_search",
+        "td_sim_hard_negatives",
+    ]
+    id_cols = ("q_id", "n_id", "id_a", "id_b", "vec_id")
+    for name in affected:
+        fn, sql = SIM[name]
+        errs = run_pair(spark, str(tmp_path), fn, sql)
+        assert errs == [], (name, errs)
+        out = fn(spark, str(tmp_path)).collect()
+        seen = {
+            r[c] for r in out for c in id_cols if c in r.asDict()
+        }
+        assert 0 not in seen and 13 not in seen, (name, sorted(seen))

@@ -451,7 +451,10 @@ def test_fuzz_similarity_ops_cross_engine(spark, tmp_path_factory, n, data):
     squared norm is an exact multiple of 1/64 well inside float64 —
     sums are exact in ANY summation order, and the downstream sqrt /
     divide / 6-dp round are IEEE-deterministic on identical operands.
-    Zero vectors are repaired (norm-0 division semantics differ) and
+    Zero vectors are excluded by the cosine plane itself on both
+    engines (see similarity._nonzero; pinned by
+    test_similarity_zero_vector_excluded) — the generator still
+    repairs them so every drawn vector contributes candidate mass;
     n >= 6 keeps a non-empty candidate set past the N_QUERIES=5 split.
     stddev_pop (td_emb_dim_stats, whitening) is the one non-plain-sum
     aggregate: intermediate M2 rounding differs between engines, but
