@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..constants import SUBSTR_W
+from ..constants import BLOCKLIST, SUBSTR_W
 from ..registry import make_registry
 from ..session import load_table
 from .dedup import _sql_shingles, shingles_df
@@ -227,6 +227,61 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         *[F.col(f"n_{k}").cast("bigint").alias(f"n_{k}") for k in PII_PATTERNS],
         F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# ---- token-blocklist gate (the C4 "bad words" filter) ----
+
+_BL_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in BLOCKLIST) + "]"
+
+_BLOCKLIST_SQL = f"""WITH h AS (
+  SELECT doc_id,
+         list_filter(
+           list_filter(string_split(lower(coalesce(text, '')), ' '),
+                       x -> x <> ''),
+           x -> list_contains({_BL_SQL_LIST}, x)) AS hits
+  FROM documents)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_hits,
+       coalesce(array_to_string(list_sort(list_distinct(hits)), ','),
+                '') AS matched,
+       len(hits) = 0 AS keep
+FROM h"""
+
+
+@_reg("td_blocklist_filter", _BLOCKLIST_SQL)
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style token-blocklist gate (the 'bad words' document filter,
+    Raffel et al. 2020 §2.2): a document containing ANY blocklisted
+    token is dropped from the training mix.  Emits per-doc verdict
+    plus the audit trail (total hit count, sorted distinct matched
+    terms) so curation review can see WHY a doc was excluded — same
+    contract as the PII counts above.
+
+    Scale shape: the blocklist is a LITERAL array in the plan (a few
+    thousand terms in production — ships inside the serialized plan
+    exactly like a broadcast), matching is a higher-order filter over
+    the token array — one codegen pass over the text bytes, zero
+    shuffle, zero Python.  NULL text carries no tokens: keep=true,
+    n_hits=0, matched='' on both engines (DuckDB's
+    array_to_string([]) is NULL where Spark's array_join([]) is '' —
+    the td_dedup_exact fuzz find — hence the coalesce in the twin).
+
+    Reference scope: no curation plane in the reference; SURVEY §2
+    extras (training-data toolkit)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda t: t != F.lit(""),
+    )
+    hits = F.filter(toks, lambda t: t.isin(*BLOCKLIST))
+    return docs.select(
+        "doc_id",
+        F.size(hits).cast("bigint").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias(
+            "matched"
+        ),
+        (F.size(hits) == 0).alias("keep"),
     )
 
 

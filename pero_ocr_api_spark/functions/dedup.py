@@ -513,31 +513,11 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
 SUBSTR_SPAN_L = 20
 
 
-def q_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact-substring duplicated spans, the Lee et al. 2022
-    ("Deduplicating Training Data Makes Language Models Better")
-    suffix-array pass (VERDICT r4 item 8b): for each document, the
-    MAXIMAL character spans covered by some length-L substring that
-    occurs >= 2 times corpus-wide (including within-doc repeats) —
-    exactly the spans a suffix array with minimum match length L
-    reports, by the equivalence "position p lies in a repeat of length
-    >= L  <=>  some length-L window starting in [p-L+1, p] repeats".
-    Upgrades td_dedup_substring's per-doc token-window df profile to
-    actual span extents.
-
-    Plan: stride-1 length-L windows (one row per char position — the
-    suffix-array cost model) -> occurrence count on the window key
-    (combine-shuffled) -> join back duplicated positions -> per-doc
-    gaps-and-islands window merges runs of consecutive duplicated
-    positions into maximal spans -> per-doc rollup.
-
-    Scale notes (100 TB): both heavy shuffles key on the
-    high-cardinality window string; production hashes each window to
-    xxhash64 first (8-byte shuffle keys instead of L chars — kept as
-    raw strings here only so the DuckDB oracle is cell-comparable);
-    the islands window shuffles once on doc_id, bounded by the
-    positions that survived the df>=2 filter (O(duplicated text), not
-    O(corpus))."""
+def _dup_char_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, len, s, e): the MAXIMAL duplicated character spans per
+    document — disjoint by construction (consecutive spans have a
+    char gap >= 2), shared by the profile (q_substring_spans) and the
+    surgery (q_substring_apply, whose splice REQUIRES disjointness)."""
     L = SUBSTR_SPAN_L
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "text", F.length("text").alias("len")
@@ -562,14 +542,49 @@ def q_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "len", "p")
     )
     w_run = Window.partitionBy("doc_id").orderBy("p")
+    # two dup windows' char coverage [p, p+L-1] is contiguous iff the
+    # start gap is <= L (== 1 under-merged: a gap of 2..L left
+    # OVERLAPPING "maximal" spans whose lengths double-counted
+    # dup_chars — caught building the apply op's splice, which needs
+    # genuinely disjoint spans)
     isl = dup.withColumn(
         "brk",
-        F.when(F.col("p") - F.lag("p").over(w_run) == 1, 0).otherwise(1),
+        F.when(F.col("p") - F.lag("p").over(w_run) <= L, 0).otherwise(1),
     ).withColumn("island", F.sum("brk").over(w_run))
-    spans = isl.groupBy("doc_id", "len", "island").agg(
+    return isl.groupBy("doc_id", "len", "island").agg(
         F.min("p").alias("s"),
         (F.max("p") + F.lit(L) - 1).alias("e"),
     )
+
+
+def q_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplicated spans, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    suffix-array pass (VERDICT r4 item 8b): for each document, the
+    MAXIMAL character spans covered by some length-L substring that
+    occurs >= 2 times corpus-wide (including within-doc repeats) —
+    exactly the spans a suffix array with minimum match length L
+    reports, by the equivalence "position p lies in a repeat of length
+    >= L  <=>  some length-L window starting in [p-L+1, p] repeats".
+    Upgrades td_dedup_substring's per-doc token-window df profile to
+    actual span extents.
+
+    Plan: stride-1 length-L windows (one row per char position — the
+    suffix-array cost model) -> occurrence count on the window key
+    (combine-shuffled) -> join back duplicated positions -> per-doc
+    gaps-and-islands window merges dup positions whose coverage
+    overlaps or touches (start gap <= L) into maximal DISJOINT spans
+    -> per-doc rollup (so dup_chars is the exact covered-character
+    count, never an overlap double-count, and dup_char_frac <= 1).
+
+    Scale notes (100 TB): both heavy shuffles key on the
+    high-cardinality window string; production hashes each window to
+    xxhash64 first (8-byte shuffle keys instead of L chars — kept as
+    raw strings here only so the DuckDB oracle is cell-comparable);
+    the islands window shuffles once on doc_id, bounded by the
+    positions that survived the df>=2 filter (O(duplicated text), not
+    O(corpus))."""
+    spans = _dup_char_spans(spark, sf)
     return spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
@@ -582,9 +597,11 @@ def q_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _substring_spans_sql() -> str:
+def _dup_spans_ctes() -> str:
+    """The shared CTE chain ending in spans(doc_id, len, island, s, e)
+    — the SQL twin of _dup_char_spans (same <= L merge rule)."""
     L = SUBSTR_SPAN_L
-    return f"""WITH pos AS (
+    return f"""pos AS (
   SELECT doc_id, length(text) AS len, CAST(t.i AS INTEGER) AS p,
          substr(text, CAST(t.i AS INTEGER), {L}) AS w
   FROM documents, unnest(range(1, length(text) - {L} + 2)) AS t(i)
@@ -594,7 +611,7 @@ dup AS (SELECT p.doc_id, p.len, p.p
         FROM pos p JOIN wc ON wc.w = p.w WHERE wc.c >= 2),
 isl AS (
   SELECT doc_id, len, p,
-         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {L}
               THEN 0 ELSE 1 END AS brk
   FROM dup),
 isl2 AS (
@@ -603,7 +620,11 @@ isl2 AS (
   FROM isl),
 spans AS (
   SELECT doc_id, len, island, min(p) AS s, max(p) + {L} - 1 AS e
-  FROM isl2 GROUP BY doc_id, len, island)
+  FROM isl2 GROUP BY doc_id, len, island)"""
+
+
+def _substring_spans_sql() -> str:
+    return f"""WITH {_dup_spans_ctes()}
 SELECT doc_id,
        count(*) AS n_spans,
        CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
@@ -615,6 +636,104 @@ FROM spans GROUP BY doc_id"""
 
 REGISTRY["td_dedup_substring_spans"] = (
     q_substring_spans, _substring_spans_sql()
+)
+
+
+def q_substring_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the exact-substring dedup: emit each document's CLEANED
+    text (every character covered by a corpus-duplicated span removed)
+    — the surgery step that turns td_dedup_substring_spans' profile
+    into the actual Lee et al. 2022 training corpus.  Output carries
+    md5(cleaned) plus the audit counts (same payload-compression
+    contract as td_pii_redact); docs with no duplicated span —
+    including docs shorter than L and NULL text — pass through
+    verbatim.
+
+    Plan: the span relation is O(duplicated text); the splice is ONE
+    aggregate-fold over each doc's sorted disjoint span array (an
+    O(n_spans) codegen expression, no explode of the clean majority) —
+    the corpus-wide cost beyond the span extraction is a broadcast-or
+    shuffle join of spans onto docs and one projection pass.  The
+    DuckDB oracle deliberately runs the NAIVE per-character algorithm
+    (explode every char, anti-join covered positions, string_agg) — a
+    cross-ALGORITHM gate like td_shard_plan: two independent
+    implementations of the splice must agree byte-for-byte (md5)."""
+    spans = _dup_char_spans(spark, sf)
+    sp = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("s").cast("int").alias("s"),
+                    F.col("e").cast("int").alias("e"),
+                )
+            )
+        ).alias("sp")
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    j = docs.join(sp, "doc_id", "left")
+    folded = F.aggregate(
+        F.col("sp"),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"), F.lit("").alias("out")
+        ),
+        lambda acc, s: F.struct(
+            (s["e"] + F.lit(1)).cast("int").alias("pos"),
+            F.concat(
+                acc["out"],
+                F.col("text").substr(acc["pos"], s["s"] - acc["pos"]),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.col("text").substr(
+                acc["pos"], F.length("text") - acc["pos"] + F.lit(1)
+            ),
+        ),
+    )
+    cleaned = F.when(F.col("sp").isNull(), F.col("text")).otherwise(folded)
+    kept = F.coalesce(F.length(cleaned), F.lit(0)).cast("bigint")
+    return j.select(
+        "doc_id",
+        F.coalesce(F.size("sp"), F.lit(0)).cast("int").alias("n_spans"),
+        (F.coalesce(F.length("text"), F.lit(0)) - kept)
+        .cast("bigint")
+        .alias("removed_chars"),
+        kept.alias("kept_chars"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+def _substring_apply_sql() -> str:
+    return f"""WITH {_dup_spans_ctes()},
+chars AS (
+  SELECT d.doc_id, CAST(t.i AS INTEGER) AS p,
+         substr(d.text, CAST(t.i AS INTEGER), 1) AS ch
+  FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(i)),
+cleaned AS (
+  SELECT c.doc_id,
+         string_agg(CASE WHEN s.doc_id IS NULL THEN c.ch END,
+                    '' ORDER BY c.p) AS cleaned,
+         count(*) FILTER (WHERE s.doc_id IS NOT NULL) AS removed
+  FROM chars c
+  LEFT JOIN spans s
+    ON s.doc_id = c.doc_id AND c.p BETWEEN s.s AND s.e
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ns.n, 0) AS INT) AS n_spans,
+       CAST(coalesce(cl.removed, 0) AS BIGINT) AS removed_chars,
+       CAST(coalesce(length(d.text), 0) - coalesce(cl.removed, 0)
+            AS BIGINT) AS kept_chars,
+       md5(CASE WHEN coalesce(cl.removed, 0) > 0
+                THEN coalesce(cl.cleaned, '')
+                ELSE d.text END) AS cleaned_md5
+FROM documents d
+LEFT JOIN cleaned cl ON cl.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id) ns
+  ON ns.doc_id = d.doc_id"""
+
+
+REGISTRY["td_dedup_substring_apply"] = (
+    q_substring_apply, _substring_apply_sql()
 )
 
 # --------------------------------- incremental (batch-vs-corpus) dedup

@@ -1107,3 +1107,93 @@ def test_similarity_zero_vector_excluded(spark, tmp_path):
             r[c] for r in out for c in id_cols if c in r.asDict()
         }
         assert 0 not in seen and 13 not in seen, (name, sorted(seen))
+
+
+def test_blocklist_filter_semantics(spark, tmp_path):
+    """C4 bad-words gate on a hand-built corpus: blocked token anywhere
+    (any case, repeated) drops the doc with the full audit trail;
+    clean, empty and NULL texts keep with n_hits=0/matched=''."""
+    from pero_ocr_api_spark.compare import run_pair
+    from pero_ocr_api_spark.functions.curation import REGISTRY
+
+    texts = [
+        "clean scan join merge",          # keep
+        "a dup in the middle",            # 1 hit
+        "DUP dup spam Dup",               # 4 hits, 2 distinct terms
+        "",                               # keep (no tokens)
+        None,                             # keep (NULL text)
+        "leakage is not leak able",       # 'leakage' != 'leak'; 1 hit
+    ]
+    rows = [
+        (i, t, "en", "s0", 0 if t is None else len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    fn, sql = REGISTRY["td_blocklist_filter"]
+    assert run_pair(spark, str(tmp_path), fn, sql) == []
+    out = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert out[0]["keep"] and out[0]["n_hits"] == 0 and out[0]["matched"] == ""
+    assert not out[1]["keep"] and out[1]["n_hits"] == 1
+    assert out[2]["n_hits"] == 4 and out[2]["matched"] == "dup,spam"
+    assert out[3]["keep"] and out[4]["keep"]
+    assert not out[5]["keep"] and out[5]["matched"] == "leak"
+
+
+def test_substring_spans_merge_and_apply(spark, tmp_path):
+    """The islands merge must join dup windows whose char coverage
+    overlaps (start gap 2..L) — the == 1 rule left OVERLAPPING
+    'maximal' spans whose lengths double-counted dup_chars (here
+    2 spans x 20 chars = 40 > len 22, i.e. dup_char_frac 1.8).  Also
+    pins the apply op's splice against hand-computed survivors."""
+    from pero_ocr_api_spark.compare import run_pair
+    from pero_ocr_api_spark.functions.dedup import REGISTRY, SUBSTR_SPAN_L
+
+    assert SUBSTR_SPAN_L == 20
+    w1 = "abcdefghijklmnopqrst"          # doc1[1..20]
+    w3 = "cdefghijklmnopqrstuv"          # doc1[3..22]
+    texts = [
+        w1 + "uv",                        # dup windows at p=1 and p=3
+        w1 + "!!!" + w3,                  # the duplicating doc; gap 23
+        "unique text here",               # < L, untouched
+        None,                             # NULL text, untouched
+    ]
+    rows = [
+        (i, t, "en", "s0", 0 if t is None else len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    fn, sql = REGISTRY["td_dedup_substring_spans"]
+    assert run_pair(spark, str(tmp_path), fn, sql) == []
+    sp = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    # doc0: ONE merged span [1,22] covering the whole doc (the old
+    # rule reported 2 spans / 40 chars / frac 1.818 here)
+    assert sp[0]["n_spans"] == 1 and sp[0]["dup_chars"] == 22
+    assert sp[0]["longest_span"] == 22 and sp[0]["dup_char_frac"] == 1.0
+    # doc1: gap 23 > L keeps two genuinely disjoint spans
+    assert sp[1]["n_spans"] == 2 and sp[1]["dup_chars"] == 40
+    assert 2 not in sp and 3 not in sp
+
+    fn, sql = REGISTRY["td_dedup_substring_apply"]
+    assert run_pair(spark, str(tmp_path), fn, sql) == []
+    ap = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert ap[0]["kept_chars"] == 0 and ap[0]["cleaned_md5"] == md5("")
+    assert ap[1]["kept_chars"] == 3 and ap[1]["removed_chars"] == 40
+    assert ap[1]["cleaned_md5"] == md5("!!!")
+    assert ap[2]["kept_chars"] == 16 and ap[2]["n_spans"] == 0
+    assert ap[2]["cleaned_md5"] == md5("unique text here")
+    assert ap[3]["kept_chars"] == 0 and ap[3]["cleaned_md5"] is None

@@ -298,6 +298,7 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
         ("td_dedup_lines", DD),
         ("td_text_bigram_ce", TXT),
         ("td_shard_plan", TXT),
+        ("td_blocklist_filter", CUR),
         # established documents-table ops: random corpora harden the
         # whole text/dedup plane, not just this round's additions
         ("td_text_tokens", TXT),
@@ -339,6 +340,7 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
         ("td_dedup_source_matrix", DD),
         ("td_dedup_substring", DD),
         ("td_dedup_substring_spans", DD),
+        ("td_dedup_substring_apply", DD),
         ("td_dedup_tfidf_cosine", DD),
         ("td_dedup_canonical", CL),
         ("td_split_leakage_safe", CL),
