@@ -232,7 +232,11 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---- token-blocklist gate (the C4 "bad words" filter) ----
 
-_BL_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in BLOCKLIST) + "]"
+# single quotes doubled so the advertised production swap (a real
+# wordlist, which contains apostrophes) cannot break or inject the twin
+_BL_SQL_LIST = (
+    "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in BLOCKLIST) + "]"
+)
 
 _BLOCKLIST_SQL = f"""WITH h AS (
   SELECT doc_id,

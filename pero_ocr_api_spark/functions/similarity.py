@@ -45,15 +45,22 @@ def _norm(a):
     )
 
 
-def _nonzero(emb: DataFrame) -> DataFrame:
-    """Exclude zero-norm vectors from the cosine plane (the quantize
-    op's `scale > 0` guard, applied plane-wide): a zero vector has no
-    direction, so its cosine is 0/0 — undefined semantically and a
-    TASK-KILLING SparkArithmeticException under ANSI mode, not a
-    row-level error.  At corpus scale zero embeddings are routine
-    encoder failures; they are excluded here (both engines, see
-    _NZ_EMB_SQL) instead of crashing the job."""
-    return emb.filter(_norm(F.col("embedding")) > F.lit(0.0))
+def _with_nonzero_norm(emb: DataFrame) -> DataFrame:
+    """Project the L2 norm and exclude degenerate vectors from the
+    cosine plane (the quantize op's `scale > 0` guard, applied
+    plane-wide): a zero vector has no direction, so its cosine is
+    0/0 — undefined semantically and a TASK-KILLING
+    SparkArithmeticException under ANSI mode, not a row-level error.
+    At corpus scale zero embeddings are routine encoder failures;
+    they are excluded here (both engines, see _NZ_EMB_SQL) instead
+    of crashing the job.  A NULL embedding or a NULL component also
+    NULLs the norm fold and is excluded — the SQL twin spells that
+    predicate out because DuckDB's list_sum silently SKIPS NULLs.
+    The norm is computed ONCE and kept as the `norm` column the
+    scoring stage reuses."""
+    return emb.withColumn("norm", _norm(F.col("embedding"))).filter(
+        F.col("norm") > F.lit(0.0)
+    )
 
 
 def _sumsq_sql(col: str) -> str:
@@ -65,10 +72,19 @@ def _sumsq_sql(col: str) -> str:
     )
 
 
-# the SQL twin of _nonzero: embeddings with zero-norm vectors excluded
-_NZ_EMB_SQL = (
-    f"nz AS (SELECT * FROM embeddings WHERE {_sumsq_sql('embedding')} > 0)"
-)
+def _nz_pred_sql(col: str = "embedding") -> str:
+    """The SQL twin of _with_nonzero_norm's filter: positive norm AND
+    no NULL component (DuckDB's list_sum ignores NULL elements where
+    Spark's aggregate fold propagates them — without the explicit
+    NULL check the engines would keep different vectors)."""
+    return (
+        f"({_sumsq_sql(col)} > 0 AND NOT coalesce(list_contains("
+        f"list_transform({col}, x -> x IS NULL), true), true))"
+    )
+
+
+# shared CTE: embeddings with degenerate vectors excluded
+_NZ_EMB_SQL = f"nz AS (SELECT * FROM embeddings WHERE {_nz_pred_sql()})"
 
 
 def _cosine_topk(cand, queries, k, on=None):
@@ -102,9 +118,7 @@ def _cosine_topk(cand, queries, k, on=None):
 
 
 def q_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = _nonzero(load_table(spark, sf, "embeddings")).withColumn(
-        "norm", _norm(F.col("embedding"))
-    )
+    emb = _with_nonzero_norm(load_table(spark, sf, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -215,10 +229,8 @@ def ann_topk_lsh(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
     hyperplanes — so it carries a complete DuckDB oracle (signature →
     bucket equi-join → exact cosine → rank), closing the registry's
     last recall-only entry (VERDICT r3 #3)."""
-    e = (
-        _nonzero(load_table(spark, sf, "embeddings"))
-        .withColumn("sig", _signature_expr())
-        .withColumn("norm", _norm(F.col("embedding")))
+    e = _with_nonzero_norm(load_table(spark, sf, "embeddings")).withColumn(
+        "sig", _signature_expr()
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
@@ -242,10 +254,10 @@ def _ann_lsh_sql() -> str:
         f"list_sum(list_transform(range(1, {DIM} + 1), "
         f"i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
     )
-    return f"""WITH sigs AS ({_lsh_sql()}),
+    return f"""WITH {_NZ_EMB_SQL},
+sigs AS ({_lsh_sql()}),
 e AS (SELECT s.vec_id, s.signature, m.embedding
-      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id
-      WHERE {_sumsq_sql('m.embedding')} > 0),
+      FROM sigs s JOIN nz m ON m.vec_id = s.vec_id),
 q AS (SELECT vec_id AS q_id, signature, embedding AS q_emb
       FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -377,10 +389,8 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     size (buckets = 2^planes; within-bucket pairing is quadratic), so
     at 10^12 rows this runs with ~40+ planes / multi-band signatures —
     the constant here is sized for the test corpus."""
-    e = (
-        _nonzero(load_table(spark, sf, "embeddings"))
-        .withColumn("sig", _signature_expr())
-        .withColumn("norm", _norm(F.col("embedding")))
+    e = _with_nonzero_norm(load_table(spark, sf, "embeddings")).withColumn(
+        "sig", _signature_expr()
     )
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
@@ -415,10 +425,10 @@ def _near_dup_sql() -> str:
         f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
         for i in range(1, DIM + 1)
     )
-    return f"""WITH sigs AS ({_lsh_sql()}),
+    return f"""WITH {_NZ_EMB_SQL},
+sigs AS ({_lsh_sql()}),
 e AS (SELECT s.vec_id, s.signature, m.embedding
-      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id
-      WHERE {_sumsq_sql('m.embedding')} > 0),
+      FROM sigs s JOIN nz m ON m.vec_id = s.vec_id),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine
@@ -438,15 +448,14 @@ def _assignments(spark: SparkSession, sf: str) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF cell).
     Zero-norm vectors (and zero centroids) are unassignable — no
     direction means no nearest-by-cosine cell — and are excluded
-    (see _nonzero); this covers every _assignments consumer (IVF,
-    SemDeDup, IVF-PQ) in one place."""
-    emb = _nonzero(load_table(spark, sf, "embeddings"))
+    (see _with_nonzero_norm); this covers every _assignments consumer
+    (IVF, SemDeDup, IVF-PQ) in one place."""
+    emb = _with_nonzero_norm(load_table(spark, sf, "embeddings"))
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
     )
-    scored = emb.withColumn("norm", _norm(F.col("embedding"))).join(
-        F.broadcast(cents.withColumn("c_norm", _norm(F.col("c_emb"))))
-    ).select(
+    scored = emb.join(F.broadcast(cents)).select(
         "vec_id", "embedding", "c_id",
         F.round(
             _dot(F.col("embedding"), F.col("c_emb"))
@@ -1181,9 +1190,7 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
     Reference scope: no embedding-training plane in the reference;
     SURVEY §2 extras (training-data toolkit)."""
-    emb = _nonzero(load_table(spark, sf, "embeddings")).withColumn(
-        "norm", _norm(F.col("embedding"))
-    )
+    emb = _with_nonzero_norm(load_table(spark, sf, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"), F.col("label").alias("q_label"),
@@ -1284,10 +1291,8 @@ def ann_topk_lsh_multiprobe(
 
     Deterministic given the md5-derived hyperplanes, so fully
     DuckDB-oracled like the single-probe path."""
-    e = (
-        _nonzero(load_table(spark, sf, "embeddings"))
-        .withColumn("sig", _signature_expr())
-        .withColumn("norm", _norm(F.col("embedding")))
+    e = _with_nonzero_norm(load_table(spark, sf, "embeddings")).withColumn(
+        "sig", _signature_expr()
     )
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
@@ -1325,10 +1330,10 @@ def _ann_lsh_mp_sql() -> str:
             f"substr(signature, {p + 2}, {LSH_PLANES - p - 1}))"
         )
     probe_list = "[" + ", ".join(flips) + "]"
-    return f"""WITH sigs AS ({_lsh_sql()}),
+    return f"""WITH {_NZ_EMB_SQL},
+sigs AS ({_lsh_sql()}),
 e AS (SELECT s.vec_id, s.signature, m.embedding
-      FROM sigs s JOIN embeddings m ON m.vec_id = s.vec_id
-      WHERE {_sumsq_sql('m.embedding')} > 0),
+      FROM sigs s JOIN nz m ON m.vec_id = s.vec_id),
 q AS (SELECT vec_id AS q_id, unnest({probe_list}) AS probe,
              embedding AS q_emb
       FROM e WHERE vec_id < {N_QUERIES}),

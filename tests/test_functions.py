@@ -1076,6 +1076,8 @@ def test_similarity_zero_vector_excluded(spark, tmp_path):
         vec = [rng.randint(-16, 16) / 8.0 for _ in range(DIM)]
         if i in (0, 13):  # query-side and candidate-side zero vectors
             vec = [0.0] * DIM
+        if i == 17:  # NULL component: norm undefined on BOTH engines
+            vec[5] = None
         rows.append((i, vec, i % 4))
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -1107,6 +1109,7 @@ def test_similarity_zero_vector_excluded(spark, tmp_path):
             r[c] for r in out for c in id_cols if c in r.asDict()
         }
         assert 0 not in seen and 13 not in seen, (name, sorted(seen))
+        assert 17 not in seen, (name, sorted(seen))
 
 
 def test_blocklist_filter_semantics(spark, tmp_path):
