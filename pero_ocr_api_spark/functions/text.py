@@ -1359,3 +1359,105 @@ def q_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+# ---- winnowing fingerprints (Schleimer et al. 2003, the MOSS sketch) ----
+WINNOW_K = 8   # k-gram width in characters
+WINNOW_W = 4   # winnowing window: >= 1 selection per W consecutive k-grams
+
+_WINNOW_SQL = f"""WITH pos AS (
+  SELECT doc_id, length(text) - {WINNOW_K} + 1 AS n_kgrams,
+         CAST(t.i AS INTEGER) AS p,
+         md5(substr(text, CAST(t.i AS INTEGER), {WINNOW_K})) AS h
+  FROM documents, unnest(range(1, length(text) - {WINNOW_K} + 2)) AS t(i)
+  WHERE length(text) >= {WINNOW_K} + {WINNOW_W} - 1),
+win AS (
+  SELECT doc_id, n_kgrams, p,
+         min({{'h': h, 'np': -p}}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel
+  FROM pos),
+sels AS (
+  SELECT DISTINCT doc_id, n_kgrams, sel.h AS h, -sel.np AS sp
+  FROM win WHERE p <= n_kgrams - {WINNOW_W} + 1)
+SELECT doc_id,
+       CAST(any_value(n_kgrams) AS INT) AS n_kgrams,
+       count(*) AS n_selected,
+       round(count(*) / CAST(any_value(n_kgrams) AS DOUBLE), 6) AS density,
+       md5(string_agg(h || '@' || sp, ';' ORDER BY h || '@' || sp))
+         AS sketch_md5
+FROM sels GROUP BY doc_id"""
+
+
+@_reg("td_text_winnowing", _WINNOW_SQL)
+def q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS local-fingerprinting algorithm): hash every K-char
+    k-gram, slide a window of W consecutive hashes, and select each
+    window's minimum (rightmost on ties, via the (hash, -pos) struct
+    argmin).  The guarantee MinHash cannot give: every W-window
+    contributes a selection, so any shared substring of length
+    >= K + W - 1 shares a fingerprint WITH ITS POSITION — the standard
+    sketch for plagiarism / contamination localization.  Expected
+    density is 2/(W+1) (~0.4 at W=4).  Output per doc: k-gram count,
+    selections, density, and md5 over the position-sorted (hash@pos)
+    sketch so the driver hash verifies every selected fingerprint.
+
+    Plan: stride-1 k-gram explode (the suffix-array cost model shared
+    with td_dedup_substring_spans) -> codegen md5 -> ONE doc-keyed
+    shuffle feeding both the rolling-min frame and the per-doc
+    aggregate (the window sort is reused); distinct-ing selections is
+    per-doc, never global.  At 100 TB the k-gram hash would be
+    xxhash64 instead of an md5 hex string (8-byte rows), same plan.
+
+    Reference scope: no sketching plane in the reference; SURVEY §2
+    extras (training-data toolkit)."""
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", (F.length("text") - k + 1).alias("n_kgrams")
+    )
+    pos = (
+        docs.filter(F.length("text") >= k + w - 1)
+        .select(
+            "doc_id", "n_kgrams",
+            F.explode(F.sequence(F.lit(1), F.col("n_kgrams"))).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id", "n_kgrams", "p",
+            F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).over(frame)
+    sels = (
+        pos.withColumn("sel", sel)
+        .filter(F.col("p") <= F.col("n_kgrams") - w + 1)
+        .select(
+            "doc_id", "n_kgrams",
+            F.concat_ws(
+                "@", F.col("sel.h"), (-F.col("sel.np")).cast("string")
+            ).alias("fp"),
+        )
+    )
+    # collect_set dedupes INSIDE the doc-keyed aggregate: a global
+    # .distinct() here cost a second full shuffle of 32-byte hash rows
+    # (measured 5.7x wall at 4x data in BENCH/SUBSTR_SCALE.md); the
+    # aggregate instead reuses the rolling-min window's doc_id
+    # partitioning — zero additional exchanges after the one shuffle
+    agg = sels.groupBy("doc_id").agg(
+        F.first("n_kgrams").cast("int").alias("n_kgrams"),
+        F.array_sort(F.collect_set("fp")).alias("fps"),
+    )
+    return agg.select(
+        "doc_id", "n_kgrams",
+        F.size("fps").cast("long").alias("n_selected"),
+        F.round(
+            F.size("fps") / F.col("n_kgrams").cast("double"), 6
+        ).alias("density"),
+        F.md5(F.array_join("fps", ";")).alias("sketch_md5"),
+    )

@@ -1200,3 +1200,74 @@ def test_substring_spans_merge_and_apply(spark, tmp_path):
     assert ap[2]["kept_chars"] == 16 and ap[2]["n_spans"] == 0
     assert ap[2]["cleaned_md5"] == md5("unique text here")
     assert ap[3]["kept_chars"] == 0 and ap[3]["cleaned_md5"] is None
+
+
+def test_winnowing_matches_pure_python(spark, tmp_path):
+    """Third-engine oracle: an independent pure-Python winnowing
+    implementation (hashlib.md5, rightmost-min-per-window, distinct,
+    position-sorted digest) must reproduce sketch_md5 exactly; plus
+    the structural guarantee — two docs sharing a substring of length
+    >= K+W-1 share at least one fingerprint hash."""
+    import hashlib
+
+    from pero_ocr_api_spark.functions.text import (
+        REGISTRY as TXT, WINNOW_K, WINNOW_W,
+    )
+
+    def winnow(text):
+        k, w = WINNOW_K, WINNOW_W
+        n = len(text) - k + 1
+        if n < w:
+            return None
+        hs = [hashlib.md5(text[p:p + k].encode()).hexdigest()
+              for p in range(n)]
+        sels = set()
+        for start in range(n - w + 1):
+            # min hash, rightmost position on ties (min over (h, -p))
+            h, np = min((hs[start + j], -(start + j + 1))
+                        for j in range(w))
+            sels.add((h, -np))
+        sketch = ";".join(sorted(f"{h}@{p}" for h, p in sels))
+        return {
+            "n_kgrams": n,
+            "n_selected": len(sels),
+            "density": round(len(sels) / n, 6),
+            "sketch_md5": hashlib.md5(sketch.encode()).hexdigest(),
+            "hashes": {h for h, _ in sels},
+        }
+
+    shared = "the shared plagiarized passage here"   # len 35 >= K+W-1
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "intro words then " + shared + " and an ending",
+        shared + " with a different continuation entirely",
+        "short",                                      # < K+W-1: absent
+        None,
+    ]
+    rows = [
+        (i, t, "en", "s0", 0 if t is None else len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from pero_ocr_api_spark.compare import run_pair
+
+    fn, sql = TXT["td_text_winnowing"]
+    assert run_pair(spark, str(tmp_path), fn, sql) == []
+    out = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    exp = {i: winnow(t) for i, t in enumerate(texts) if t is not None}
+    for i, want in exp.items():
+        if want is None:
+            assert i not in out
+            continue
+        got = out[i]
+        for key in ("n_kgrams", "n_selected", "density", "sketch_md5"):
+            assert got[key] == want[key], (i, key, got[key], want[key])
+    # the localization guarantee: docs 1 and 2 share >= K+W-1 chars,
+    # so their sketches intersect on at least one k-gram hash
+    assert exp[1]["hashes"] & exp[2]["hashes"]
