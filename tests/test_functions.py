@@ -1271,3 +1271,21 @@ def test_winnowing_matches_pure_python(spark, tmp_path):
     # the localization guarantee: docs 1 and 2 share >= K+W-1 chars,
     # so their sketches intersect on at least one k-gram hash
     assert exp[1]["hashes"] & exp[2]["hashes"]
+
+
+def test_winnowing_plan_single_exchange(spark, sf_smoke):
+    """Pin the winnowing plan shape: exactly ONE shuffle (the doc_id
+    exchange feeding the rolling-min window; the dedup aggregate
+    reuses its partitioning).  A reintroduced global distinct — the
+    5.7x-at-4x-data regression BENCH/SUBSTR_SCALE.md measured — would
+    add a second hashpartitioning exchange and fail here."""
+    from pero_ocr_api_spark.functions.text import REGISTRY as TXT
+
+    plan = (
+        TXT["td_text_winnowing"][0](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" not in plan, plan
