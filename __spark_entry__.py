@@ -148,6 +148,12 @@ _DRIVER_WINDOW = [
     # exactly (sketch_md5).  cp_sql_tpch_q20_excess_stock
     # (r03+r04-green, untouched) is the evicted fill entry
     "td_text_winnowing",
+    # NEW in round 5: winnowing-based decontamination — per-pair
+    # contamination localization (which train doc, how many shared
+    # fingerprints), df-capped via the band-cap broadcast idiom; also
+    # pure-Python-oracled.  cp_sql_tpch_q11_stock (r03+r04-green,
+    # untouched) is the evicted fill entry
+    "td_decontam_winnow",
     # touched in round 5 (zero-norm exclusion, both engines): the whole
     # cosine plane re-records (rerank / hard-negatives / multiprobe are
     # already in the window above) — 5 TPC-H re-confirmation fills
@@ -166,7 +172,6 @@ _DRIVER_WINDOW = [
     # (r04-green, untouched) is the evicted fill entry
     "td_length_deciles",
     "cp_sql_tpch_q2_min_cost", "cp_sql_tpch_q9_profit",
-    "cp_sql_tpch_q11_stock",
     "td_dedup_semantic", "td_dedup_incremental", "td_text_bpe_pairs",
     "td_curation_dsir", "td_profile_documents",
     "td_sim_ivfpq_search", "td_profile_key_skew",

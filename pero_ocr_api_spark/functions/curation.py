@@ -781,3 +781,90 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         " 5, 'dedup_canonical', d5, t5)"
         " AS (stage_idx, stage, n_docs, n_tokens)"
     )
+
+
+# ---- winnowing-based decontamination (per-pair localization) ----
+
+WINNOW_DF_CAP = 16     # train fingerprints in more docs are boilerplate
+WINNOW_MIN_SHARED = 3  # shared distinct fingerprints to flag a pair
+
+
+def _decontam_winnow_sql() -> str:
+    from .text import _winnow_sels_ctes
+
+    return f"""WITH {_winnow_sels_ctes()}, {_SPLIT_SQL},
+fps AS (SELECT DISTINCT w.doc_id, w.h, s.split
+        FROM wsels w JOIN split s USING (doc_id)),
+tr AS (SELECT doc_id AS tr_doc, h FROM fps WHERE split = 'train'),
+he AS (SELECT doc_id AS he_doc, h FROM fps WHERE split = 'heldout'),
+over_cap AS (
+  SELECT h FROM tr GROUP BY h HAVING count(*) > {WINNOW_DF_CAP}),
+tr_ok AS (SELECT * FROM tr ANTI JOIN over_cap USING (h)),
+pairs AS (
+  SELECT he.he_doc, tr_ok.tr_doc, count(*) AS n_shared
+  FROM he JOIN tr_ok USING (h)
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT he_doc AS doc_id,
+       count(*) AS n_contaminating,
+       CAST(max(n_shared) AS BIGINT) AS max_shared,
+       min({{'neg': -n_shared, 'd': tr_doc}}).d AS top_train_doc
+FROM pairs GROUP BY he_doc"""
+
+
+@_reg("td_decontam_winnow", _decontam_winnow_sql())
+def q_decontam_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-based decontamination with PER-PAIR localization —
+    what td_decontaminate's distinct-shingle check cannot say: WHICH
+    train document contaminates each heldout document, and how
+    heavily (the MOSS report shape).  A heldout doc is flagged when it
+    shares >= {WINNOW_MIN_SHARED} distinct winnowing fingerprints with
+    one train doc; per flagged doc the report carries the count of
+    contaminating train docs, the heaviest overlap, and its source
+    (ties -> smallest tr_doc, via the (-n_shared, tr_doc) struct
+    argmin — deterministic on both engines).
+
+    Scale shape: selections dedupe per (doc, fingerprint) first, so
+    the join's probe side carries one row per distinct fingerprint
+    per doc; train fingerprints in more than {WINNOW_DF_CAP} docs are
+    boilerplate and are removed via a BROADCAST blacklist (the
+    MinHash band-cap idiom), bounding per-key fan-out at
+    {WINNOW_DF_CAP} — candidate volume is O(|heldout fps| x CAP),
+    never heldout x train.  The pair aggregate keys on the
+    (he_doc, tr_doc) composite; everything upstream keys on the
+    high-cardinality fingerprint hash."""
+    from .text import _winnow_selected
+
+    fps = (
+        _winnow_selected(spark, sf)
+        .select("doc_id", "h")
+        .distinct()
+        .withColumn("split", _split_col())
+    )
+    tr = fps.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("tr_doc"), "h"
+    )
+    he = fps.filter(F.col("split") == "heldout").select(
+        F.col("doc_id").alias("he_doc"), "h"
+    )
+    over_cap = (
+        tr.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > WINNOW_DF_CAP)
+        .select("h")
+    )
+    tr_ok = tr.join(F.broadcast(over_cap), "h", "left_anti")
+    pairs = (
+        he.join(tr_ok, "h")
+        .groupBy("he_doc", "tr_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return pairs.groupBy("he_doc").agg(
+        F.count("*").alias("n_contaminating"),
+        F.max("n_shared").cast("bigint").alias("max_shared"),
+        F.min(
+            F.struct(
+                (-F.col("n_shared")).alias("neg"), F.col("tr_doc").alias("d")
+            )
+        )["d"].alias("top_train_doc"),
+    ).withColumnRenamed("he_doc", "doc_id")

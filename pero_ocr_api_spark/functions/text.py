@@ -1365,7 +1365,12 @@ def q_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
 WINNOW_K = 8   # k-gram width in characters
 WINNOW_W = 4   # winnowing window: >= 1 selection per W consecutive k-grams
 
-_WINNOW_SQL = f"""WITH pos AS (
+def _winnow_sels_ctes() -> str:
+    """Shared CTE chain ending in wsels(doc_id, n_kgrams, h, sp): the
+    per-full-window winnowing selections (duplicates possible — one
+    row per window), consumed by the sketch op here and the
+    winnowing-decontamination op in curation.py."""
+    return f"""pos AS (
   SELECT doc_id, length(text) - {WINNOW_K} + 1 AS n_kgrams,
          CAST(t.i AS INTEGER) AS p,
          md5(substr(text, CAST(t.i AS INTEGER), {WINNOW_K})) AS h
@@ -1377,9 +1382,14 @@ win AS (
            PARTITION BY doc_id ORDER BY p
            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel
   FROM pos),
+wsels AS (
+  SELECT doc_id, n_kgrams, sel.h AS h, -sel.np AS sp
+  FROM win WHERE p <= n_kgrams - {WINNOW_W} + 1)"""
+
+
+_WINNOW_SQL = f"""WITH {_winnow_sels_ctes()},
 sels AS (
-  SELECT DISTINCT doc_id, n_kgrams, sel.h AS h, -sel.np AS sp
-  FROM win WHERE p <= n_kgrams - {WINNOW_W} + 1)
+  SELECT DISTINCT doc_id, n_kgrams, h, sp FROM wsels)
 SELECT doc_id,
        CAST(any_value(n_kgrams) AS INT) AS n_kgrams,
        count(*) AS n_selected,
@@ -1387,6 +1397,43 @@ SELECT doc_id,
        md5(string_agg(h || '@' || sp, ';' ORDER BY h || '@' || sp))
          AS sketch_md5
 FROM sels GROUP BY doc_id"""
+
+
+def _winnow_selected(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_kgrams, h, sp): the winnowing selections, one row
+    per full window (duplicates possible — the same (h, sp) wins
+    consecutive windows).  The Spark twin of the wsels CTE; shared by
+    the sketch op below and curation's td_decontam_winnow."""
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", (F.length("text") - k + 1).alias("n_kgrams")
+    )
+    pos = (
+        docs.filter(F.length("text") >= k + w - 1)
+        .select(
+            "doc_id", "n_kgrams",
+            F.explode(F.sequence(F.lit(1), F.col("n_kgrams"))).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id", "n_kgrams", "p",
+            F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).over(frame)
+    return (
+        pos.withColumn("sel", sel)
+        .filter(F.col("p") <= F.col("n_kgrams") - w + 1)
+        .select(
+            "doc_id", "n_kgrams",
+            F.col("sel.h").alias("h"), (-F.col("sel.np")).alias("sp"),
+        )
+    )
 
 
 @_reg("td_text_winnowing", _WINNOW_SQL)
@@ -1412,37 +1459,9 @@ def q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
 
     Reference scope: no sketching plane in the reference; SURVEY §2
     extras (training-data toolkit)."""
-    k, w = WINNOW_K, WINNOW_W
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", "text", (F.length("text") - k + 1).alias("n_kgrams")
-    )
-    pos = (
-        docs.filter(F.length("text") >= k + w - 1)
-        .select(
-            "doc_id", "n_kgrams",
-            F.explode(F.sequence(F.lit(1), F.col("n_kgrams"))).alias("p"),
-            "text",
-        )
-        .select(
-            "doc_id", "n_kgrams", "p",
-            F.md5(F.col("text").substr(F.col("p"), F.lit(k))).alias("h"),
-        )
-    )
-    frame = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    sel = F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).over(frame)
-    sels = (
-        pos.withColumn("sel", sel)
-        .filter(F.col("p") <= F.col("n_kgrams") - w + 1)
-        .select(
-            "doc_id", "n_kgrams",
-            F.concat_ws(
-                "@", F.col("sel.h"), (-F.col("sel.np")).cast("string")
-            ).alias("fp"),
-        )
+    sels = _winnow_selected(spark, sf).select(
+        "doc_id", "n_kgrams",
+        F.concat_ws("@", F.col("h"), F.col("sp").cast("string")).alias("fp"),
     )
     # collect_set dedupes INSIDE the doc-keyed aggregate: a global
     # .distinct() here cost a second full shuffle of 32-byte hash rows

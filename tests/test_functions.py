@@ -1289,3 +1289,88 @@ def test_winnowing_plan_single_exchange(spark, sf_smoke):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_decontam_winnow_matches_pure_python(spark, tmp_path):
+    """Third-engine oracle for the winnowing decontamination: pure
+    Python recomputes split assignment (md5-byte bucket), winnowing
+    fingerprint sets, the train df cap, pair overlaps, and the
+    per-heldout-doc rollup — and must agree with BOTH engines."""
+    import hashlib
+
+    from pero_ocr_api_spark.compare import run_pair
+    from pero_ocr_api_spark.functions.curation import (
+        REGISTRY as CUR, WINNOW_DF_CAP, WINNOW_MIN_SHARED,
+    )
+    from pero_ocr_api_spark.functions.text import WINNOW_K, WINNOW_W
+
+    shared_a = "the first plagiarized long passage used everywhere ok"
+    shared_b = "a second distinct duplicated block of notable length!"
+    texts = {}
+    for i in range(60):
+        uniq = hashlib.md5(f"u{i}".encode()).hexdigest()
+        if i % 3 == 0:
+            texts[i] = uniq + " " + shared_a + " " + uniq[::-1]
+        elif i % 3 == 1:
+            texts[i] = uniq + " " + shared_b
+        else:
+            texts[i] = uniq + hashlib.md5(f"v{i}".encode()).hexdigest()
+    rows = [(i, t, "en", "s0", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def bucket(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:2], 16)
+
+    def fps(text):
+        k, w = WINNOW_K, WINNOW_W
+        n = len(text) - k + 1
+        if n < w:
+            return set()
+        hs = [hashlib.md5(text[p:p + k].encode()).hexdigest()
+              for p in range(n)]
+        out = set()
+        for s in range(n - w + 1):
+            h, np = min((hs[s + j], -(s + j + 1)) for j in range(w))
+            out.add(h)
+        return out
+
+    split = {i: ("train" if bucket(i) < 205 else "heldout") for i in texts}
+    f = {i: fps(t) for i, t in texts.items()}
+    tr_df = {}
+    for i, s in split.items():
+        if s == "train":
+            for h in f[i]:
+                tr_df[h] = tr_df.get(h, 0) + 1
+    ok = {h for h, d in tr_df.items() if d <= WINNOW_DF_CAP}
+    expected = {}
+    for i, s in split.items():
+        if s != "heldout":
+            continue
+        pairs = {}
+        for j, sj in split.items():
+            if sj != "train":
+                continue
+            n = len(f[i] & f[j] & ok)
+            if n >= WINNOW_MIN_SHARED:
+                pairs[j] = n
+        if pairs:
+            mx = max(pairs.values())
+            top = min(j for j, n in pairs.items() if n == mx)
+            expected[i] = (len(pairs), mx, top)
+
+    fn, sql = CUR["td_decontam_winnow"]
+    assert run_pair(spark, str(tmp_path), fn, sql) == []
+    got = {
+        r["doc_id"]: (r["n_contaminating"], r["max_shared"],
+                      r["top_train_doc"])
+        for r in fn(spark, str(tmp_path)).collect()
+    }
+    assert expected, "fixture produced no contamination — inputs broken"
+    assert got == expected

@@ -300,6 +300,7 @@ def test_fuzz_new_ops_cross_engine(spark, tmp_path_factory, texts, data):
         ("td_shard_plan", TXT),
         ("td_blocklist_filter", CUR),
         ("td_text_winnowing", TXT),
+        ("td_decontam_winnow", CUR),
         # established documents-table ops: random corpora harden the
         # whole text/dedup plane, not just this round's additions
         ("td_text_tokens", TXT),
